@@ -1,0 +1,35 @@
+"""geotables_jl_spark — a PySpark-native geospatial table engine.
+
+A from-scratch reimplementation of the *semantics* of JuliaEarth/GeoTables.jl
+(reference: /root/reference, v1.28.14) on top of the Spark DataFrame API:
+
+- every row is ``(attributes..., geometry)`` where ``geometry`` is a struct
+  column (kind, coords, envelope) — mirrors ``src/api/tables.jl:41-55``.
+- ``georef`` constructors (reference ``src/georef.jl``) build geotables from
+  plain tables + coordinates/geometries/grids.
+- ``geojoin``/``tablejoin`` are *aggregate-on-match* joins (reference
+  ``src/geoops/geojoin.jl``, ``src/geoops/tablejoin.jl``) realized as a
+  two-stage cell-indexed equi-join + vectorized exact refinement +
+  ``groupBy`` aggregation — never a row-multiplying SQL join.
+- split-apply-combine (``@groupby/@transform/@combine``,
+  reference ``src/geoops/``) as thin DataFrame planners.
+
+Spark-first: the logical plan is declared with DataFrame ops so Catalyst
+handles pushdown/pruning/AQE; Python only runs inside Arrow-batched
+pandas UDFs (geometry refinement kernels).
+"""
+
+from geotables_jl_spark.core.geotable import GeoTable, georef, georef_grid
+from geotables_jl_spark.operators.geojoin import geojoin, knn_join
+from geotables_jl_spark.operators.tablejoin import tablejoin
+
+__all__ = [
+    "GeoTable",
+    "georef",
+    "georef_grid",
+    "geojoin",
+    "knn_join",
+    "tablejoin",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,258 @@
+"""GeoTable: DataFrame + geometry column + CRS, and the georef constructors.
+
+Reference semantics (GeoTables.jl):
+- a geotable is a domain zipped positionally with an attribute table
+  (``src/geotable.jl:34-37``); here the zip is a stable ``row_id`` column
+  assigned once at construction (replaces Julia's positional indices —
+  Spark rows have no order).
+- ``georef`` has 5 construction forms (``src/georef.jl``); all are
+  reproduced below. The CRS name heuristic (lat/lon variants, order fixed
+  to lat,lon) mirrors ``src/georef.jl:137-157``.
+- geometry-only tables (``values === nothing``, ``src/geotable.jl:48``)
+  are just DataFrames whose only attribute is ``geometry``.
+- ``CartesianGrid`` rasters are a *lazy grid relation*: ``spark.range``
+  plus generator expressions for cell polygons — cells are materialized
+  on demand exactly like the reference's implicit grid domain
+  (``src/georef.jl:120-129``). O(1) state, any size.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from geotables_jl_spark.geom.model import GEOMETRY_TYPE, st_box, st_point
+
+ROW_ID = "row_id"
+GEOM = "geometry"
+
+_LAT_NAMES = {"lat", "latitude"}
+_LON_NAMES = {"lon", "long", "longitude"}
+
+
+def _variants_match(name: str, base: set[str]) -> bool:
+    # reference variants(): lowercase, UPPERCASE, Uppercasefirst (src/georef.jl:188)
+    return name.lower() in base
+
+
+@dataclass
+class GridMeta:
+    """Raster metadata: the domain is an implicit nx × ny grid.
+
+    cell id (0-based) = j * nx + i, column-major like the reference's
+    LinearIndices (``test/operations.jl:10``) — i varies fastest.
+    """
+
+    nx: int
+    ny: int
+    ox: float = 0.0
+    oy: float = 0.0
+    sx: float = 1.0
+    sy: float = 1.0
+
+
+@dataclass
+class GeoTable:
+    """A Spark DataFrame where every row is (attributes..., geometry).
+
+    ``df`` always carries ``row_id:long`` (stable identity) and
+    ``geometry`` (struct, see geom/model.py). ``crs`` is a table-level
+    property (reference: ``crs(geotable)``, ``src/abstractgeotable.jl:115``).
+    """
+
+    df: DataFrame
+    crs: str = "Cartesian"
+    lenunit: str | None = None
+    grid: GridMeta | None = None
+    units: dict[str, str] = field(default_factory=dict)
+
+    # -- shape / names (reference src/api/dataframes.jl:5-42) --------------
+    @property
+    def names(self) -> list[str]:
+        attrs = [c for c in self.df.columns if c not in (ROW_ID, GEOM)]
+        return attrs + [GEOM]
+
+    def nrow(self) -> int:
+        return self.df.count()
+
+    def ncol(self) -> int:
+        return len(self.names)
+
+    # -- selection (reference src/api/dataframes.jl:44-128) ----------------
+    def select_vars(self, vars) -> "GeoTable":
+        cols = self._resolve_vars(vars)
+        keep = [ROW_ID] + cols + [GEOM]
+        return self._with(self.df.select(*[c for c in keep if c in self.df.columns]))
+
+    def _resolve_vars(self, vars) -> list[str]:
+        attrs = [c for c in self.df.columns if c not in (ROW_ID, GEOM)]
+        if vars is None:
+            return attrs
+        if isinstance(vars, (str, int, re.Pattern)):
+            vars = [vars]
+        out: list[str] = []
+        for v in vars:
+            if isinstance(v, int):
+                out.append(attrs[v])
+            elif isinstance(v, re.Pattern):
+                out.extend([c for c in attrs if v.search(c)])
+            elif isinstance(v, str) and v.startswith("r/"):
+                pat = re.compile(v[2:])
+                out.extend([c for c in attrs if pat.search(c)])
+            else:
+                if v not in attrs and v != GEOM:
+                    raise KeyError(f"no column {v!r}")
+                out.append(v)
+        return out
+
+    def rows(self, predicate: Column) -> "GeoTable":
+        """Row selection — lazy view (reference SubGeoTable,
+        ``src/subgeotable.jl:10-20``; Spark filters are free views)."""
+        return self._with(self.df.filter(predicate))
+
+    def rows_by_id(self, ids: list[int]) -> "GeoTable":
+        return self._with(self.df.filter(F.col(ROW_ID).isin([int(i) for i in ids])))
+
+    def spatial_select(self, query_geom_col: Column, pred: str = "intersects") -> "GeoTable":
+        """gtb[geometry, :] — rows whose element matches a query geometry
+        (reference ``src/api/geotables.jl:5-6``). Cheap bbox prefilter is a
+        pure column expr; exact refinement via the join kernel."""
+        from geotables_jl_spark.operators.geojoin import spatial_filter
+
+        return self._with(spatial_filter(self.df, query_geom_col, pred=pred))
+
+    def scatter_onto(self, parent: "GeoTable") -> "GeoTable":
+        """parent(view): scatter this (sub)table's rows back onto the parent
+        domain, filling missing (reference ``src/abstractgeotable.jl:78-104``).
+        Left join of the parent row_id spine with our attribute rows."""
+        attrs = [c for c in self.df.columns if c not in (ROW_ID, GEOM)]
+        spine = parent.df.select(ROW_ID, GEOM)
+        out = spine.join(self.df.select(ROW_ID, *attrs), on=ROW_ID, how="left")
+        return parent._with(out.select(ROW_ID, *attrs, GEOM))
+
+    # -- misc ----------------------------------------------------------------
+    def _with(self, df: DataFrame) -> "GeoTable":
+        return GeoTable(df=df, crs=self.crs, lenunit=self.lenunit, grid=self.grid, units=dict(self.units))
+
+    def with_grid(self, grid: GridMeta | None) -> "GeoTable":
+        return GeoTable(df=self.df, crs=self.crs, lenunit=self.lenunit, grid=grid, units=dict(self.units))
+
+
+def _add_row_id(df: DataFrame, order_by: str | None = None) -> DataFrame:
+    """Stable 0-based row_id. With ``order_by`` the id follows that column
+    (deterministic); otherwise falls back to the input partition order.
+
+    At 100 TB prefer a natural key: zipWithIndex-style global numbering is
+    a full pass; every source in sources/ provides a natural ``row_id``.
+    """
+    if ROW_ID in df.columns:
+        return df
+    if order_by is not None:
+        w = W.orderBy(F.col(order_by))
+        return df.withColumn(ROW_ID, F.row_number().over(w).cast("long") - 1)
+    return df.withColumn(ROW_ID, F.monotonically_increasing_id())
+
+
+def georef(
+    df: DataFrame,
+    coords: list[str] | tuple[str, str] | None = None,
+    geoms: Column | None = None,
+    crs: str | None = None,
+    lenunit: str | None = None,
+    row_id_order: str | None = None,
+) -> GeoTable:
+    """Construct a GeoTable (reference ``src/georef.jl``).
+
+    Forms:
+    - ``georef(df, ["lat","lon"])``: lift coordinate columns into a point
+      geometry and drop them from the attributes (``src/georef.jl:81-105``);
+      CRS guessed from names — lat/lon variants (case-insensitive) map to
+      LatLon with order fixed (lat, lon) (``src/georef.jl:137-157``),
+      anything else is Cartesian in the given column order.
+    - ``georef(df, geoms=<geometry column expr>)``: attach an explicit
+      geometry expression (``src/georef.jl:17,31``).
+    - ``georef(df)`` where df already has a ``geometry`` column: fallback
+      constructor (``src/abstractgeotable.jl:42-54``) — identity.
+    """
+    if geoms is not None:
+        out = df.withColumn(GEOM, geoms)
+        return GeoTable(df=_add_row_id(out, row_id_order), crs=crs or "Cartesian", lenunit=lenunit)
+
+    if coords is not None:
+        names = list(coords)
+        lat = next((c for c in names if _variants_match(c, _LAT_NAMES)), None)
+        lon = next((c for c in names if _variants_match(c, _LON_NAMES)), None)
+        if crs is None and len(names) == 2 and lat is not None and lon is not None:
+            guessed = "LatLon"
+            x_col, y_col = lon, lat  # x=lon, y=lat; CRS order is (lat, lon)
+        else:
+            guessed = crs or "Cartesian"
+            x_col, y_col = names[0], names[1]
+        out = df.withColumn(GEOM, st_point(F.col(x_col), F.col(y_col))).drop(*names)
+        return GeoTable(df=_add_row_id(out, row_id_order), crs=guessed, lenunit=lenunit)
+
+    if GEOM not in df.columns:
+        raise ValueError("georef: need coords=, geoms=, or an existing geometry column")
+    return GeoTable(df=_add_row_id(df, row_id_order), crs=crs or "Cartesian", lenunit=lenunit)
+
+
+def georef_grid(
+    spark: SparkSession,
+    nx: int,
+    ny: int,
+    ox: float = 0.0,
+    oy: float = 0.0,
+    sx: float = 1.0,
+    sy: float = 1.0,
+    values: DataFrame | None = None,
+    value_cols: list[str] | None = None,
+) -> GeoTable:
+    """Lazy CartesianGrid relation (reference ``src/georef.jl:120-129``).
+
+    ``spark.range(nx*ny)`` + generator expressions: cell (i,j) 0-based,
+    id = j*nx + i (column-major / i-fastest, matching Julia's
+    LinearIndices), polygon generated on demand via ``st_box``. Scales to
+    arbitrarily large rasters: the grid itself is O(1) driver state and
+    range splits are computed, not stored.
+
+    ``values``: optional attribute table with a ``cell_id`` column to zip
+    onto the grid (column-major flattened arrays, like georef(namedtuple)).
+    """
+    df = spark.range(nx * ny).withColumnRenamed("id", ROW_ID)
+    i = (F.col(ROW_ID) % nx).alias("i")
+    j = (F.col(ROW_ID) / nx).cast("long").alias("j")
+    df = df.withColumn("i", i).withColumn("j", j)
+    x0 = F.lit(ox) + F.col("i") * F.lit(sx)
+    y0 = F.lit(oy) + F.col("j") * F.lit(sy)
+    df = df.withColumn(GEOM, st_box(x0, y0, x0 + F.lit(sx), y0 + F.lit(sy)))
+    if values is not None:
+        vcols = value_cols or [c for c in values.columns if c != "cell_id"]
+        df = df.join(values.select(F.col("cell_id").alias(ROW_ID), *vcols), on=ROW_ID, how="left")
+    order = [ROW_ID] + [c for c in df.columns if c not in (ROW_ID, GEOM)] + [GEOM]
+    return GeoTable(df=df.select(*order), grid=GridMeta(nx=nx, ny=ny, ox=ox, oy=oy, sx=sx, sy=sy))
+
+
+def grid_subset(gtb: GeoTable, i0: int, i1: int, j0: int, j1: int) -> GeoTable:
+    """Grid-preserving Cartesian indexing gtb[(i0:i1, j0:j1)] — result is
+    still a raster (reference ``src/api/geotables.jl:19-62``). Pure
+    predicate on the computed (i, j); Catalyst folds it into the range scan.
+    """
+    if gtb.grid is None:
+        raise ValueError("grid_subset requires a grid-domained geotable")
+    g = gtb.grid
+    df = gtb.df.filter(
+        (F.col("i") >= i0) & (F.col("i") <= i1) & (F.col("j") >= j0) & (F.col("j") <= j1)
+    )
+    sub = GridMeta(
+        nx=i1 - i0 + 1,
+        ny=j1 - j0 + 1,
+        ox=g.ox + i0 * g.sx,
+        oy=g.oy + j0 * g.sy,
+        sx=g.sx,
+        sy=g.sy,
+    )
+    return GeoTable(df=df, crs=gtb.crs, lenunit=gtb.lenunit, grid=sub, units=dict(gtb.units))

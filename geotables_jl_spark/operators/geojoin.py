@@ -1,0 +1,481 @@
+"""geojoin — spatial aggregate-on-match join.
+
+Reference semantics (``src/geoops/geojoin.jl``): for each LEFT row,
+collect ALL right rows with ``pred(geom_l, geom_r)`` true AND all ``on``
+attributes isequal, then aggregate every right column to exactly one
+value — a fused ``JOIN + GROUP BY left.row_id + AGG``, never a
+row-multiplying join. Kinds: ``:left`` (unmatched left rows keep NULL
+aggregates, ``geojoin.jl:129-148``) and ``:inner`` (only matched left
+rows, ``geojoin.jl:180-201``), plus ``:knn`` (k nearest right rows per
+left row — mandated by the north star; not in the reference at this
+version).
+
+Physical plan (replaces the reference's brute-force O(n1*n2) thread loop,
+``geojoin.jl:120-124,242-248``):
+
+  1. one cheap envelope-stats aggregate per side → resolution choice +
+     broadcast-vs-shuffle decision (size-based, like Catalyst's own
+     autoBroadcastJoinThreshold but measured in rows we just counted);
+  2. cell-cover explode on both sides (pure JVM ``sequence``/``flatten``);
+  3. equi-join on cell id (+ null-safe ``on`` conjuncts, mirroring the
+     reference's ``isequal`` matching at ``geojoin.jl:226``); the small
+     side is broadcast, otherwise it is a hash shuffle on cell id — AQE
+     skew-join handles moderate skew, and ``salt=`` adds explicit
+     replication for pathological cells (megacity cells at web scale);
+  4. dedupe (lid, rid) candidate pairs (a geometry pair can share several
+     cover cells);
+  5. exact refinement in ``mapInPandas`` (Arrow batches, numpy winding
+     number — ``geom/refine.py``); POINT-vs-POINT and envelope-exact cases
+     skip Python entirely;
+  6. ``groupBy(lid).agg(...)`` map-side-combinable aggregates;
+  7. join the aggregate back onto the full left spine (left kind) or
+     inner-join it (inner kind).
+
+Two shuffles total (cell join + final spine join); the groupBy reuses the
+cell-join output partitioning when AQE leaves it intact.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+from geotables_jl_spark.core.geotable import GEOM, ROW_ID, GeoTable
+from geotables_jl_spark.geom.cells import (
+    cell_cover,
+    cell_ring,
+    choose_cell_size,
+    envelope_stats,
+    point_cell,
+)
+from geotables_jl_spark.geom.refine import refine_mask
+
+_LID = "__lid"
+_RID = "__rid"
+
+BROADCAST_ROWS = 2_000_000  # cover rows below this → broadcast the side
+
+_CONTINUOUS = (T.DoubleType, T.FloatType, T.DecimalType)
+
+
+def _is_continuous(dtype: T.DataType) -> bool:
+    return isinstance(dtype, _CONTINUOUS)
+
+
+def default_agg_name(dtype: T.DataType) -> str:
+    """Scitype-driven default aggregation (reference
+    ``src/geoops/utils.jl:24-26``): Continuous → mean, else first
+    (missing-skipping, in right row order)."""
+    return "mean" if _is_continuous(dtype) else "first"
+
+
+def _agg_expr(name: str, col: str, rid_col: str) -> Column:
+    """Aggregate expression for one right column. All are null-skipping
+    like the reference's skipmissing (``src/geoops/utils.jl:28-33``), and
+    order-dependent aggs are made deterministic under shuffle by keying on
+    the right row id (SURVEY §7 hard part #4)."""
+    if name in ("mean", "avg"):
+        return F.avg(col)
+    if name == "sum":
+        return F.sum(col)
+    if name in ("std", "stddev"):
+        return F.stddev_samp(col)
+    if name in ("var", "variance"):
+        return F.var_samp(col)
+    if name == "median":
+        return F.median(col)
+    if name == "min":
+        return F.min(col)
+    if name == "max":
+        return F.max(col)
+    if name == "count":
+        return F.count(col)
+    if name == "first":
+        return F.expr(f"min_by(`{col}`, CASE WHEN `{col}` IS NOT NULL THEN `{rid_col}` END)")
+    if name == "last":
+        return F.expr(f"max_by(`{col}`, CASE WHEN `{col}` IS NOT NULL THEN `{rid_col}` END)")
+    if name == "collect":
+        return F.expr(f"transform(array_sort(collect_list(struct(`{rid_col}`, `{col}`))), s -> s.`{col}`)")
+    raise ValueError(f"unknown aggregation {name!r}")
+
+
+def _rename_collisions(df1: DataFrame, df2: DataFrame, on: list[str]) -> tuple[DataFrame, dict]:
+    """Right columns colliding with left get '_' suffix(es); ``on`` and
+    housekeeping columns exempt (reference ``geojoin.jl:74-87``)."""
+    taken = set(df1.columns)
+    mapping = {}
+    for c in df2.columns:
+        if c in (ROW_ID, GEOM) or c in on:
+            continue
+        new = c
+        while new in taken:
+            new = new + "_"
+        if new != c:
+            df2 = df2.withColumnRenamed(c, new)
+            mapping[c] = new
+    return df2, mapping
+
+
+def _cover_side(df: DataFrame, cell_size: float, id_alias: str, geom_alias: str, extra: list[str]) -> DataFrame:
+    g = F.col(GEOM)
+    return df.select(
+        F.col(ROW_ID).alias(id_alias),
+        g.alias(geom_alias),
+        *[F.col(c) for c in extra],
+        F.explode(cell_cover(g, cell_size)).alias("__cell"),
+    )
+
+
+def candidate_pairs(
+    df1: DataFrame,
+    df2: DataFrame,
+    cell_size: float,
+    on: list[str],
+    n1: int,
+    n2: int,
+    right_extra: list[str],
+    salt: int = 1,
+) -> DataFrame:
+    """Stage 1: cell-cover equi-join → deduped (lid, rid) candidate pairs
+    carrying both geometry structs and the right-side payload columns."""
+    left_on = [f"__lon_{c}" for c in on]
+    right_on = [f"__ron_{c}" for c in on]
+    l = _cover_side(df1.select(ROW_ID, GEOM, *on), cell_size, _LID, "__lgeom", on)
+    for c, a in zip(on, left_on):
+        l = l.withColumnRenamed(c, a)
+    r = _cover_side(df2.select(ROW_ID, GEOM, *on, *right_extra), cell_size, _RID, "__rgeom", on + right_extra)
+    for c, a in zip(on, right_on):
+        r = r.withColumnRenamed(c, a)
+
+    if salt > 1:
+        # explicit skew salting: replicate the SMALL side across salt ids,
+        # split the big side's hot cells by a hash of its row id
+        l = l.withColumn("__salt", F.pmod(F.hash(F.col(_LID)), F.lit(salt)))
+        r = r.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        join_keys = [l["__cell"] == r["__cell"], l["__salt"] == r["__salt"]]
+    else:
+        join_keys = [l["__cell"] == r["__cell"]]
+    for lo, ro in zip(left_on, right_on):
+        join_keys.append(l[lo].eqNullSafe(r[ro]))
+
+    cond = join_keys[0]
+    for k in join_keys[1:]:
+        cond = cond & k
+
+    # broadcast the smaller cover side under the row threshold
+    if n2 <= n1 and n2 < BROADCAST_ROWS:
+        r = F.broadcast(r)
+    elif n1 < n2 and n1 < BROADCAST_ROWS:
+        l = F.broadcast(l)
+
+    pairs = l.join(r, cond, "inner").select(
+        _LID, "__lgeom", _RID, "__rgeom", *right_extra
+    )
+    # a pair sharing several cover cells appears once per cell: dedupe.
+    # points cover exactly 1 cell each, so point-point joins skip this.
+    return pairs.dropDuplicates([_LID, _RID])
+
+
+def _bbox_overlap(lg: Column, rg: Column) -> Column:
+    return (
+        (lg["xmin"] <= rg["xmax"])
+        & (lg["xmax"] >= rg["xmin"])
+        & (lg["ymin"] <= rg["ymax"])
+        & (lg["ymax"] >= rg["ymin"])
+    )
+
+
+def refine(pairs: DataFrame, pred: str) -> DataFrame:
+    """Stage 2: exact predicate over candidate pairs.
+
+    Fast paths stay in the JVM: bbox prefilter always; point-vs-point
+    equality exactly; for within/contains an envelope containment
+    prefilter. Only geometrically ambiguous pairs cross into Arrow.
+    """
+    lg, rg = F.col("__lgeom"), F.col("__rgeom")
+    pairs = pairs.filter(_bbox_overlap(lg, rg))
+
+    kinds = (lg["kind"], rg["kind"])
+    pt_pt = (kinds[0] == 1) & (kinds[1] == 1)
+    # if everything is point-vs-point the predicate is exact equality — JVM only
+    # (cheap static check on the plan is not possible; use a runtime split)
+    jvm_exact = pt_pt & (lg["x"] == rg["x"]) & (lg["y"] == rg["y"])
+
+    ambiguous = pairs.filter(~pt_pt)
+    exact = pairs.filter(pt_pt).filter(jvm_exact)
+
+    out_fields = [f for f in pairs.schema.fields if f.name not in ("__lgeom", "__rgeom")]
+    out_schema = T.StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
+
+    def _iter(batches):
+        import pandas as pd  # executor-side
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mask = refine_mask(
+                pdf["__lgeom"],
+                pdf["__rgeom"],
+                pdf[_LID].to_numpy(),
+                pdf[_RID].to_numpy(),
+                pred,
+            )
+            yield pdf.loc[mask, out_cols]
+
+    refined = ambiguous.mapInPandas(_iter, schema=out_schema)
+    return refined.unionByName(exact.select(*out_cols))
+
+
+def build_aggs(
+    df2: DataFrame,
+    right_cols: list[str],
+    user_aggs: dict[str, str] | None,
+    rid_col: str = _RID,
+) -> list[Column]:
+    """User aggregation pairs ∪ scitype defaults (reference
+    ``geojoin.jl:115,230-240``)."""
+    user_aggs = user_aggs or {}
+    dtypes = {f.name: f.dataType for f in df2.schema.fields}
+    aggs = []
+    for c in right_cols:
+        name = user_aggs.get(c, default_agg_name(dtypes[c]))
+        aggs.append(_agg_expr(name, c, rid_col).alias(c))
+    return aggs
+
+
+def geojoin(
+    gtb1: GeoTable,
+    gtb2: GeoTable,
+    aggs: dict[str, str] | None = None,
+    kind: str = "left",
+    pred: str = "intersects",
+    on: Iterable[str] | None = None,
+    k: int = 5,
+    salt: int = 1,
+    cell_size: float | None = None,
+) -> GeoTable:
+    """Spatial aggregate-on-match join (see module docstring).
+
+    pred: "intersects" (default, ``geojoin.jl:51``), "within" (left ⊆
+    right — reference ``issubset``), "contains", or "knn" (k nearest right
+    neighbors per left row, point geometries).
+    """
+    if kind not in ("left", "inner"):
+        raise ValueError("kind must be 'left' or 'inner'")
+    on = list(on or [])
+
+    # CRS alignment: reproject right into left CRS (geojoin.jl:216-224)
+    if gtb2.crs != gtb1.crs:
+        from geotables_jl_spark.functions.crs import reproject
+
+        gtb2 = reproject(gtb2, gtb1.crs)
+
+    df1 = gtb1.df
+    df2, renames = _rename_collisions(df1, gtb2.df, on)
+    right_cols = [c for c in df2.columns if c not in (ROW_ID, GEOM) and c not in on]
+    # user agg keys use the ORIGINAL right column names (reference
+    # geojoin.jl:115 resolves vars before the collision rename); map + validate
+    if aggs:
+        mapped = {}
+        for key, name in aggs.items():
+            new_key = renames.get(key, key)
+            if new_key not in right_cols:
+                raise ValueError(f"geojoin agg on unknown right column {key!r}")
+            _agg_expr(name, new_key, _RID)  # eager validation of the agg name
+            mapped[new_key] = name
+        aggs = mapped
+
+    if pred == "knn":
+        matched = knn_pairs(df1, df2, k=k, on=on, extra=right_cols, cell_size=cell_size)
+    else:
+        s1 = envelope_stats(df1)
+        s2 = envelope_stats(df2)
+        size = cell_size or choose_cell_size(s1, s2)
+        pairs = candidate_pairs(df1, df2, size, on, s1["n"], s2["n"], right_cols, salt=salt)
+        matched = refine(pairs, pred)
+
+    agg_exprs = build_aggs(df2, right_cols, aggs)
+    agg = matched.groupBy(_LID).agg(*agg_exprs)
+
+    spine = df1
+    how = "left" if kind == "left" else "inner"
+    out = spine.join(agg, spine[ROW_ID] == agg[_LID], how).drop(_LID)
+    # column order: left attrs, right agg cols, geometry last (tables.jl:47)
+    left_attrs = [c for c in df1.columns if c not in (ROW_ID, GEOM)]
+    out = out.select(ROW_ID, *left_attrs, *right_cols, GEOM)
+    return GeoTable(df=out, crs=gtb1.crs, lenunit=gtb1.lenunit, grid=None, units=dict(gtb1.units))
+
+
+# ---------------------------------------------------------------------------
+# kNN: cell-ring expansion + exact distance, 100% JVM (points only)
+# ---------------------------------------------------------------------------
+
+
+def _knn_round(
+    left: DataFrame,
+    right_cells: DataFrame,
+    cell_size: float,
+    radius: int,
+    k: int,
+    on: list[str],
+    extra: list[str],
+    broadcast_right: bool,
+) -> DataFrame:
+    """One expansion round: candidates within the (2r+1)^2 cell block, then
+    keep lids whose k-th neighbor distance is certified ≤ r*cell_size (any
+    point outside the block is strictly farther than r*cell_size)."""
+    l = left.select(
+        F.col(ROW_ID).alias(_LID),
+        F.col(GEOM)["x"].alias("__lx"),
+        F.col(GEOM)["y"].alias("__ly"),
+        *[F.col(c).alias(f"__lon_{c}") for c in on],
+        F.explode(cell_ring(F.col(GEOM), cell_size, radius)).alias("__cell"),
+    )
+    r = right_cells
+    if broadcast_right:
+        r = F.broadcast(r)
+    cond = l["__cell"] == r["__rcell"]
+    for c in on:
+        cond = cond & l[f"__lon_{c}"].eqNullSafe(r[f"__ron_{c}"])
+    cand = l.join(r, cond, "inner").select(
+        _LID,
+        "__lx",
+        "__ly",
+        _RID,
+        *extra,
+        F.hypot(F.col("__lx") - F.col("__rx"), F.col("__ly") - F.col("__ry")).alias("__dist"),
+    )
+    w = W.partitionBy(_LID).orderBy(F.col("__dist").asc(), F.col(_RID).asc())
+    topk = cand.withColumn("__rank", F.row_number().over(w)).filter(F.col("__rank") <= k)
+    return topk
+
+
+def knn_pairs(
+    df1: DataFrame,
+    df2: DataFrame,
+    k: int,
+    on: list[str] | None = None,
+    extra: list[str] | None = None,
+    cell_size: float | None = None,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """(lid, rid, __dist, __rank) pairs: k nearest right points per left
+    point. Iterative cell-ring expansion — each round only re-processes
+    left rows whose k-th neighbor is not yet certified, doubling the ring
+    radius; certified when kth_dist ≤ radius*cell_size (ring guarantee) or
+    the ring block covers the data extent."""
+    on = list(on or [])
+    extra = list(extra or [])
+    s2 = envelope_stats(df2)
+    s1 = envelope_stats(df1)
+    ext_w = max(s1["xmax"], s2["xmax"]) - min(s1["xmin"], s2["xmin"])
+    ext_h = max(s1["ymax"], s2["ymax"]) - min(s1["ymin"], s2["ymin"])
+    extent = max(ext_w, ext_h, 1e-9)
+    import math
+
+    n2 = max(s2["n"], 1)
+    if cell_size is None:
+        # expect ~k candidates inside the 3x3 block of the first round
+        cell_size = extent * math.sqrt(max(float(k), 1.0) / float(n2))
+        cell_size = min(max(cell_size, extent / 4096.0), extent)
+
+    right_cells = df2.select(
+        F.col(ROW_ID).alias(_RID),
+        F.col(GEOM)["x"].alias("__rx"),
+        F.col(GEOM)["y"].alias("__ry"),
+        *[F.col(c).alias(f"__ron_{c}") for c in on],
+        *extra,
+        point_cell(F.col(GEOM), cell_size).alias("__rcell"),
+    )
+    broadcast_right = n2 < BROADCAST_ROWS
+    if not broadcast_right:
+        right_cells = right_cells.repartition("__rcell")
+    right_cells = right_cells.persist()
+
+    remaining = df1
+    done_parts: list[DataFrame] = []
+    radius = 1
+    for _ in range(max_rounds):
+        topk = _knn_round(remaining, right_cells, cell_size, radius, k, on, extra, broadcast_right).persist()
+        guarantee = float(radius) * cell_size
+        per_lid = topk.groupBy(_LID).agg(
+            F.count(F.lit(1)).alias("__cnt"), F.max("__dist").alias("__kth")
+        )
+        block_covers_extent = (2 * radius + 1) * cell_size >= 2.0 * extent
+        if block_covers_extent:
+            certified_ids = per_lid.select(_LID)
+        else:
+            certified_ids = per_lid.filter(
+                (F.col("__cnt") >= k) & (F.col("__kth") <= F.lit(guarantee))
+            ).select(_LID)
+        done_parts.append(
+            topk.join(F.broadcast(certified_ids) if broadcast_right else certified_ids, on=_LID, how="left_semi")
+        )
+        remaining = remaining.join(
+            certified_ids.withColumnRenamed(_LID, ROW_ID), on=ROW_ID, how="left_anti"
+        )
+        if block_covers_extent or remaining.isEmpty():
+            break
+        radius *= 2
+
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out.select(_LID, _RID, "__dist", "__rank", *extra)
+
+
+def knn_join(
+    gtb1: GeoTable,
+    gtb2: GeoTable,
+    k: int,
+    on: Iterable[str] | None = None,
+    cell_size: float | None = None,
+) -> DataFrame:
+    """Pair-level kNN join: one row per (left row, neighbor) with distance
+    and rank — the non-aggregated form. For the aggregate-on-match form use
+    ``geojoin(..., pred='knn', k=k)``."""
+    if gtb2.crs != gtb1.crs:
+        from geotables_jl_spark.functions.crs import reproject
+
+        gtb2 = reproject(gtb2, gtb1.crs)
+    df2, _ = _rename_collisions(gtb1.df, gtb2.df, list(on or []))
+    extra = [c for c in df2.columns if c not in (ROW_ID, GEOM)]
+    pairs = knn_pairs(gtb1.df, df2, k=k, on=list(on or []), extra=extra, cell_size=cell_size)
+    return pairs.withColumnRenamed(_LID, "row_id").withColumnRenamed(_RID, "neighbor_id").withColumnRenamed(
+        "__dist", "distance"
+    ).withColumnRenamed("__rank", "rank")
+
+
+def spatial_filter(df: DataFrame, query_geom: Column, pred: str = "intersects") -> DataFrame:
+    """Rows whose geometry matches a literal query geometry (reference
+    ``gtb[geometry, vars]``, ``src/api/geotables.jl:5-6``). bbox prefilter
+    in the JVM; exact refinement in one Arrow pass."""
+    tagged = df.withColumn("__qgeom", query_geom)
+    lg, rg = F.col(GEOM), F.col("__qgeom")
+    tagged = tagged.filter(_bbox_overlap(lg, rg))
+
+    out_schema = T.StructType([f for f in tagged.schema.fields if f.name != "__qgeom"])
+    out_cols = [f.name for f in out_schema.fields]
+
+    def _iter(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            mask = refine_mask(
+                pdf[GEOM],
+                pdf["__qgeom"],
+                pdf[ROW_ID].to_numpy() if ROW_ID in pdf else np.arange(n),
+                np.zeros(n, dtype=np.int64),
+                pred,
+            )
+            yield pdf.loc[mask, out_cols]
+
+    return tagged.mapInPandas(_iter, schema=out_schema)
