@@ -1,0 +1,88 @@
+"""Domain-driven partition / sample / sort (reference ``src/indices.jl:5-11``
+shims; methods exercised in ``test/indices.jl:5-37``).
+
+Every method is a pure column expression producing a partition-id /
+sort-key column — no shuffles beyond what the consumer asks for.
+Centroids come from ``st_centroid`` (JVM shoelace math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from geotables_jl_spark.core.geotable import GEOM, ROW_ID, GeoTable
+from geotables_jl_spark.functions.geomfuncs import st_centroid
+
+PARTITION_COL = "partition_id"
+
+
+def _centroid_xy(g: Column) -> tuple[Column, Column]:
+    c = st_centroid(g)
+    return c["x"], c["y"]
+
+
+def partition_uniform(gtb: GeoTable, k: int, seed: int = 42) -> GeoTable:
+    """UniformPartition: k roughly equal random parts. Deterministic:
+    hash(row_id, seed) mod k."""
+    pid = F.pmod(F.hash(F.col(ROW_ID), F.lit(seed)), F.lit(k))
+    return gtb._with(gtb.df.withColumn(PARTITION_COL, pid))
+
+
+def partition_fraction(gtb: GeoTable, fraction: float, seed: int = 42) -> GeoTable:
+    """FractionPartition: two parts, first ≈ fraction of rows."""
+    u = F.pmod(F.hash(F.col(ROW_ID), F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0
+    pid = F.when(u < fraction, F.lit(0)).otherwise(F.lit(1))
+    return gtb._with(gtb.df.withColumn(PARTITION_COL, pid))
+
+
+def partition_block(gtb: GeoTable, bx: float, by: float | None = None) -> GeoTable:
+    """BlockPartition: tile the plane with bx × by blocks; id packs the
+    block coordinates (this IS the raster↔vector tile assignment)."""
+    by = by if by is not None else bx
+    cx, cy = _centroid_xy(F.col(GEOM))
+    pid = F.floor(cx / F.lit(bx)) * F.lit(1 << 31) + F.floor(cy / F.lit(by))
+    return gtb._with(gtb.df.withColumn(PARTITION_COL, pid.cast("long")))
+
+
+def partition_bisect(gtb: GeoTable, dx: float, dy: float, point: tuple[float, float] = (0.0, 0.0)) -> GeoTable:
+    """BisectPointPartition: split by the plane through `point` with
+    normal (dx, dy)."""
+    cx, cy = _centroid_xy(F.col(GEOM))
+    side = (cx - F.lit(point[0])) * F.lit(dx) + (cy - F.lit(point[1])) * F.lit(dy)
+    return gtb._with(gtb.df.withColumn(PARTITION_COL, F.when(side >= 0, 1).otherwise(0)))
+
+
+def partition_direction(gtb: GeoTable, dx: float, dy: float, nbins: int = 10) -> GeoTable:
+    """DirectionPartition: bin by projection onto a direction."""
+    cx, cy = _centroid_xy(F.col(GEOM))
+    proj = cx * F.lit(dx) + cy * F.lit(dy)
+    return gtb._with(gtb.df.withColumn(PARTITION_COL, F.ntile(nbins).over(W.orderBy(proj)) - 1))
+
+
+def partition_predicate(gtb: GeoTable, pred: Column) -> GeoTable:
+    """IndexPredicatePartition: boolean predicate → parts {0,1}."""
+    return gtb._with(gtb.df.withColumn(PARTITION_COL, F.when(pred, 1).otherwise(0)))
+
+
+def partition_product(gtb: GeoTable, *cols: str) -> GeoTable:
+    """ProductPartition: cross of existing partition-id columns."""
+    pid = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    return gtb._with(gtb.df.withColumn(PARTITION_COL, F.hash(pid).cast("long")))
+
+
+def sample_uniform(gtb: GeoTable, n: int, seed: int = 42) -> GeoTable:
+    """UniformSampling(n) without replacement — deterministic: order by
+    hash(row_id, seed), take n (TABLESAMPLE-style reservoir is not
+    deterministic across partitioning; rank-based is)."""
+    u = F.hash(F.col(ROW_ID), F.lit(seed))
+    return gtb._with(gtb.df.orderBy(u, F.col(ROW_ID)).limit(n))
+
+
+def sort_direction(gtb: GeoTable, dx: float, dy: float) -> GeoTable:
+    """DirectionSort: global sort by projection of centroid onto (dx,dy)
+    — range-partitioned sort, no window."""
+    cx, cy = _centroid_xy(F.col(GEOM))
+    proj = cx * F.lit(dx) + cy * F.lit(dy)
+    return gtb._with(gtb.df.orderBy(proj.asc(), F.col(ROW_ID).asc()))

@@ -1,0 +1,201 @@
+"""Feature & geometric pipeline transforms (reference ``test/feature.jl:4-43``,
+``src/transforms.jl``, TableTransforms extension).
+
+Each transform is a function GeoTable -> GeoTable built from DataFrame ops;
+row-count-changing transforms also subset the domain — free here since the
+domain is just the geometry column riding along (the reference must
+explicitly view the domain, ``GeoTablesTableTransformsExt.jl:27-74``).
+
+Global statistics (Center/MinMax/ZScore/Quantile/DropExtrema) are computed
+with one agg and folded in as literals — a broadcast join of a 1-row frame,
+the scale-correct pattern (never a window over the whole table).
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geotables_jl_spark.core.geotable import GEOM, ROW_ID, GeoTable
+from geotables_jl_spark.geom.model import st_point
+
+
+def _attrs(gtb: GeoTable) -> list[str]:
+    return [c for c in gtb.df.columns if c not in (ROW_ID, GEOM)]
+
+
+def select(gtb: GeoTable, *cols: str) -> GeoTable:
+    return gtb._with(gtb.df.select(ROW_ID, *cols, GEOM))
+
+
+def reject(gtb: GeoTable, *cols: str) -> GeoTable:
+    return gtb._with(gtb.df.drop(*cols))
+
+
+def rename(gtb: GeoTable, mapping: dict[str, str]) -> GeoTable:
+    df = gtb.df
+    for old, new in mapping.items():
+        df = df.withColumnRenamed(old, new)
+    return gtb._with(df)
+
+
+def stdnames(gtb: GeoTable) -> GeoTable:
+    """StdNames: snake_case-ish cleanup of column names."""
+    mapping = {}
+    for c in _attrs(gtb):
+        new = _re.sub(r"[^0-9a-zA-Z]+", "_", c.strip()).strip("_").lower()
+        if new != c:
+            mapping[c] = new
+    return rename(gtb, mapping)
+
+
+def filter_rows(gtb: GeoTable, pred: Column) -> GeoTable:
+    return gtb._with(gtb.df.filter(pred))
+
+
+def sort_by(gtb: GeoTable, *cols, ascending: bool = True) -> GeoTable:
+    ordering = [F.col(c).asc() if ascending else F.col(c).desc() for c in cols]
+    return gtb._with(gtb.df.orderBy(*ordering, F.col(ROW_ID).asc()))
+
+
+def sample(gtb: GeoTable, n: int, seed: int = 42) -> GeoTable:
+    from geotables_jl_spark.operators.indices import sample_uniform
+
+    return sample_uniform(gtb, n, seed)
+
+
+def dropmissing(gtb: GeoTable, *cols: str) -> GeoTable:
+    cols = cols or tuple(_attrs(gtb))
+    return gtb._with(gtb.df.dropna(subset=list(cols)))
+
+
+def dropnan(gtb: GeoTable, *cols: str) -> GeoTable:
+    df = gtb.df
+    targets = cols or tuple(
+        c for c in _attrs(gtb) if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType))
+    )
+    for c in targets:
+        df = df.filter(~F.isnan(F.col(c)))
+    return gtb._with(df)
+
+
+def dropextrema(gtb: GeoTable, col: str, low: float = 0.25, high: float = 0.75) -> GeoTable:
+    """DropExtrema: keep rows inside the [low, high] quantile band.
+    approx_percentile = one pass, mergeable sketch (scale-correct)."""
+    q = gtb.df.agg(
+        F.percentile_approx(col, F.lit(low)).alias("lo"),
+        F.percentile_approx(col, F.lit(high)).alias("hi"),
+    ).collect()[0]
+    return gtb._with(gtb.df.filter((F.col(col) >= q["lo"]) & (F.col(col) <= q["hi"])))
+
+
+def coalesce_value(gtb: GeoTable, value, *cols: str) -> GeoTable:
+    return gtb._with(gtb.df.fillna(value, subset=list(cols) or None))
+
+
+def replace_values(gtb: GeoTable, col: str, mapping: dict) -> GeoTable:
+    return gtb._with(gtb.df.replace(mapping, subset=[col]))
+
+
+def map_col(gtb: GeoTable, out_col: str, expr: Column) -> GeoTable:
+    return gtb._with(gtb.df.withColumn(out_col, expr))
+
+
+def indicator(gtb: GeoTable, col: str, threshold) -> GeoTable:
+    return gtb._with(gtb.df.withColumn(f"{col}_ind", (F.col(col) > threshold).cast("int")))
+
+
+def onehot(gtb: GeoTable, col: str, levels: list) -> GeoTable:
+    df = gtb.df
+    for lv in levels:
+        df = df.withColumn(f"{col}_{lv}", (F.col(col) == F.lit(lv)).cast("int"))
+    out_cols = [c for c in df.columns if c not in (ROW_ID, GEOM)]
+    return gtb._with(df.select(ROW_ID, *out_cols, GEOM))
+
+
+def coerce(gtb: GeoTable, col: str, dtype: str) -> GeoTable:
+    return gtb._with(gtb.df.withColumn(col, F.col(col).cast(dtype)))
+
+
+def levels_check(gtb: GeoTable, col: str, levels: list) -> GeoTable:
+    ok = F.col(col).isin(levels) | F.col(col).isNull()
+    return gtb._with(gtb.df.filter(ok))
+
+
+# ---- global-statistic rescalers (one agg, literals folded back) ----------
+
+
+def _stats(df: DataFrame, cols: list[str], exprs) -> dict:
+    row = df.agg(*[e(c).alias(f"{name}_{c}") for c in cols for name, e in exprs.items()]).collect()[0]
+    return row.asDict()
+
+
+def center(gtb: GeoTable, *cols: str) -> GeoTable:
+    s = _stats(gtb.df, list(cols), {"mean": F.avg})
+    df = gtb.df
+    for c in cols:
+        df = df.withColumn(c, F.col(c) - F.lit(s[f"mean_{c}"]))
+    return gtb._with(df)
+
+
+def minmax(gtb: GeoTable, *cols: str, low: float = 0.0, high: float = 1.0) -> GeoTable:
+    s = _stats(gtb.df, list(cols), {"min": F.min, "max": F.max})
+    df = gtb.df
+    for c in cols:
+        lo, hi = s[f"min_{c}"], s[f"max_{c}"]
+        span = (hi - lo) or 1.0
+        df = df.withColumn(c, (F.col(c) - F.lit(lo)) / F.lit(span) * F.lit(high - low) + F.lit(low))
+    return gtb._with(df)
+
+
+def zscore(gtb: GeoTable, *cols: str) -> GeoTable:
+    s = _stats(gtb.df, list(cols), {"mean": F.avg, "std": F.stddev_samp})
+    df = gtb.df
+    for c in cols:
+        df = df.withColumn(c, (F.col(c) - F.lit(s[f"mean_{c}"])) / F.lit(s[f"std_{c}"] or 1.0))
+    return gtb._with(df)
+
+
+def quantile_transform(gtb: GeoTable, col: str, nbins: int = 100) -> GeoTable:
+    """Quantile: rank / n via percent_rank window over a range-partitioned
+    sort (acceptable: single numeric column, range shuffle)."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col(col))
+    return gtb._with(gtb.df.withColumn(col, F.percent_rank().over(w)))
+
+
+# ---- geometric transforms -------------------------------------------------
+
+
+def stdcoords(gtb: GeoTable) -> GeoTable:
+    """StdCoords (``test/geometric.jl:3-9``): affine-rescale point
+    geometries into [-0.5, 0.5]^2 — global bbox agg then vectorized
+    rescale, all column math."""
+    g = F.col(GEOM)
+    s = gtb.df.agg(
+        F.min(g["xmin"]).alias("x0"),
+        F.max(g["xmax"]).alias("x1"),
+        F.min(g["ymin"]).alias("y0"),
+        F.max(g["ymax"]).alias("y1"),
+    ).collect()[0]
+    sx = (s["x1"] - s["x0"]) or 1.0
+    sy = (s["y1"] - s["y0"]) or 1.0
+    nx = (g["x"] - F.lit(s["x0"])) / F.lit(sx) - 0.5
+    ny = (g["y"] - F.lit(s["y0"])) / F.lit(sy) - 0.5
+    return gtb._with(gtb.df.withColumn(GEOM, st_point(nx, ny)))
+
+
+def slice_box(gtb: GeoTable, x: tuple[float, float] | None = None, y: tuple[float, float] | None = None) -> GeoTable:
+    """Slice(x=(a,b), y=(c,d)) (``src/transforms.jl:25-28``): coordinate-
+    window subset; envelope predicate only — pure pushdown-able filter."""
+    g = F.col(GEOM)
+    pred = F.lit(True)
+    if x is not None:
+        pred = pred & (g["xmin"] >= x[0]) & (g["xmax"] <= x[1])
+    if y is not None:
+        pred = pred & (g["ymin"] >= y[0]) & (g["ymax"] <= y[1])
+    return gtb._with(gtb.df.filter(pred))
