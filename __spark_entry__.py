@@ -1,10 +1,22 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship north-star query (geotagged web pages
+→ tile geojoin) at sf0.001. ``queries()`` exposes one entry per
+implemented operator family (SURVEY.md §2 + training-data-pipeline ops);
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for each (omitted
+only for genuinely non-SQL-expressible ops: SimHash and LSH-approximate
+ANN, whose hash families live JVM-side).
+
+Parity conventions (so value-hashes match bit-for-bit):
+- coordinates are derived from integer keys with exact integer modular
+  math, then divided by constants — both engines produce identical
+  doubles;
+- order-sensitive float aggregates are either exact (integer-valued
+  doubles, whose sums are exact in any order) or rounded to 6 (coords) /
+  4 (money) decimals — far above the 1-ulp reassociation noise;
+- count-like outputs are cast to BIGINT on both sides;
+- "first" aggregates are keyed on natural ids (min_by/arg_min), never
+  physical row order.
 """
 
 from __future__ import annotations
@@ -12,27 +24,683 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from geotables_jl_spark.core.geotable import GEOM, ROW_ID, GeoTable, georef, georef_grid, grid_subset
+from geotables_jl_spark.functions import textstats as TS
+from geotables_jl_spark.geom.model import st_box, st_polygon_lit
+from geotables_jl_spark.operators import dedup as DD
+from geotables_jl_spark.operators import simsearch as SS
+from geotables_jl_spark.operators import transforms as TR
+from geotables_jl_spark.operators.geojoin import geojoin, knn_join, spatial_filter
+from geotables_jl_spark.operators.indices import partition_block
+from geotables_jl_spark.operators.multimodal import attach_media_meta, frame_sample_plan
+from geotables_jl_spark.operators.sac import combine, groupby, transform
+from geotables_jl_spark.operators.setops import hcat, vcat
+from geotables_jl_spark.operators.tablejoin import tablejoin
+from geotables_jl_spark.sources.webpages import geotagged_webpages, webpages_from_documents
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic coordinates (exact integer math, ANSI-replicable)
+# ---------------------------------------------------------------------------
+
+# SQL fragments (DuckDB) — Spark builders below mirror the op order exactly.
+SQL_CX = "((c_custkey*7919)%3600)/10.0 - 180.0 + 0.05"
+SQL_CY = "((c_custkey*104729)%1700)/10.0 - 85.0 + 0.05"
+SQL_SX = "((s_suppkey*7919)%3600)/10.0 - 180.0 + 0.05"
+SQL_SY = "((s_suppkey*104729)%1700)/10.0 - 85.0 + 0.05"
+SQL_LAT = "(((doc_id*7919)%1700)*1000 + 500 - 850000)/10000.0"
+SQL_LON = "(((doc_id*104729)%3600)*1000 + 500 - 1800000)/10000.0"
+SQL_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+_STOP = "'" + "','".join(TS.QUALITY_STOPWORDS) + "'"
+
+
+def _cust_points(spark: SparkSession, sf_dir: str, keep: list[str] | None = None) -> GeoTable:
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    df = (
+        df.withColumn("cx", ((k * 7919) % 3600) / 10.0 - 180.0 + 0.05)
+        .withColumn("cy", ((k * 104729) % 1700) / 10.0 - 85.0 + 0.05)
+        .withColumn(ROW_ID, k)
+    )
+    if keep is not None:
+        df = df.select(ROW_ID, *keep, "cx", "cy")
+    return georef(df, coords=["cx", "cy"])
+
+
+def _supp_points(spark: SparkSession, sf_dir: str, keep: list[str] | None = None) -> GeoTable:
+    df = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    k = F.col("s_suppkey")
+    df = (
+        df.withColumn("sx", ((k * 7919) % 3600) / 10.0 - 180.0 + 0.05)
+        .withColumn("sy", ((k * 104729) % 1700) / 10.0 - 85.0 + 0.05)
+        .withColumn(ROW_ID, k)
+    )
+    if keep is not None:
+        df = df.select(ROW_ID, *keep, "sx", "sy")
+    return georef(df, coords=["sx", "sy"])
+
+
+def _tiles(spark: SparkSession, crs: str = "Cartesian") -> GeoTable:
+    """36×18 grid of 10-degree tiles over [-180,180]×[-90,90]; tile_id =
+    j*36+i (column-major, i fastest — the reference's LinearIndices)."""
+    g = georef_grid(spark, 36, 18, ox=-180.0, oy=-90.0, sx=10.0, sy=10.0)
+    df = g.df.select(ROW_ID, F.col(ROW_ID).alias("tile_id"), GEOM)
+    return GeoTable(df=df, crs=crs, grid=g.grid)
+
+
+SQL_TILE_FROM_CXY = (
+    "CAST(floor((cy+90.0)/10.0) AS BIGINT)*36 + CAST(floor((cx+180.0)/10.0) AS BIGINT)"
+)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_georef_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _cust_points(spark, sf_dir, keep=["c_name"])
+    geom = F.col(GEOM)
+    return g.df.select(
+        F.col(ROW_ID).alias("c_custkey"), "c_name", geom["x"].alias("x"), geom["y"].alias("y")
+    )
+
+
+def q_geojoin_tiles_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _cust_points(spark, sf_dir, keep=[])
+    res = geojoin(cust, _tiles(spark), kind="left")  # tile_id default-aggs to `first`
+    return res.df.select(F.col(ROW_ID).alias("c_custkey"), F.col("tile_id"))
+
+
+def q_geojoin_tiles_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _cust_points(spark, sf_dir, keep=["c_acctbal"])
+    cust = GeoTable(
+        df=cust.df.withColumn("page_id", F.col(ROW_ID)).select(ROW_ID, "page_id", "c_acctbal", GEOM),
+        crs=cust.crs,
+    )
+    res = geojoin(_tiles(spark), cust, aggs={"page_id": "count", "c_acctbal": "mean"}, kind="inner")
+    return res.df.select(
+        "tile_id",
+        F.col("page_id").cast("long").alias("n_pts"),
+        F.round(F.col("c_acctbal"), 4).alias("avg_bal"),
+    )
+
+
+# convex polygons with slightly irrational-ish vertices (no lattice incidence)
+POLY_TRI = [(-150.003, -70.003), (150.007, -70.003), (0.001, 80.007)]
+POLY_DIA = [(-60.003, 0.001), (0.001, -60.003), (60.007, 0.001), (0.001, 60.007)]
+
+
+def _region_polys(spark: SparkSession) -> GeoTable:
+    rows = [
+        (0, "tri", 3.0),
+        (1, "dia", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "row_id long, region_name string, weight double")
+    geom = F.when(F.col(ROW_ID) == 0, st_polygon_lit(POLY_TRI)).otherwise(st_polygon_lit(POLY_DIA))
+    return georef(df, geoms=geom)
+
+
+def _sql_halfplanes(poly: list[tuple[float, float]], px: str, py: str) -> str:
+    terms = []
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        terms.append(
+            f"((({x2!r})-({x1!r}))*(({py})-({y1!r})) - (({y2!r})-({y1!r}))*(({px})-({x1!r}))) >= 0"
+        )
+    return "(" + " AND ".join(terms) + ")"
+
+
+def q_geojoin_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _cust_points(spark, sf_dir, keep=[])
+    res = geojoin(cust, _region_polys(spark), pred="within", kind="left")
+    return res.df.select(
+        F.col(ROW_ID).alias("c_custkey"),
+        F.col("region_name"),
+        F.col("weight").alias("wt"),  # mean of integer-valued doubles: exact
+    )
+
+
+def q_geojoin_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _cust_points(spark, sf_dir, keep=[])
+    supp = _supp_points(spark, sf_dir, keep=[])
+    pairs = knn_join(cust, supp, k=3)
+    return pairs.select(
+        F.col("row_id").alias("c_custkey"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").alias("s_suppkey"),
+        F.round(F.col("distance"), 6).alias("dist"),
+    )
+
+
+def q_tablejoin_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _cust_points(spark, sf_dir, keep=["c_name"])
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .withColumnRenamed("o_custkey", "c_custkey")
+        .withColumn(ROW_ID, F.col("o_orderkey"))
+        .select(ROW_ID, "c_custkey", "o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+    g = GeoTable(df=cust.df.withColumn("c_custkey", F.col(ROW_ID)), crs=cust.crs)
+    res = tablejoin(
+        g,
+        orders,
+        on=["c_custkey"],
+        aggs={"o_orderkey": "count", "o_totalprice": "sum", "o_orderpriority": "first"},
+    )
+    return res.df.select(
+        "c_custkey",
+        "c_name",
+        F.col("o_orderkey").cast("long").alias("n_orders"),
+        F.round(F.col("o_totalprice"), 2).alias("total_price"),
+        F.col("o_orderpriority").alias("first_priority"),
+    )
+
+
+def q_groupby_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _cust_points(spark, sf_dir, keep=["c_nationkey", "c_acctbal"])
+    grouped = groupby(cust, "c_nationkey")
+    res = combine(
+        grouped,
+        aggs={
+            "n": F.count(F.lit(1)).cast("long"),
+            "avg_bal": F.round(F.avg("c_acctbal"), 4),
+        },
+        geometry="centroid",
+    )
+    geom = F.col(GEOM)
+    return res.df.select(
+        "c_nationkey",
+        F.col(ROW_ID).alias("first_custkey"),
+        "n",
+        "avg_bal",
+        F.round(geom["x"], 6).alias("cx"),
+        F.round(geom["y"], 6).alias("cy"),
+    )
+
+
+def q_transform_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = li.withColumn(ROW_ID, F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+    li = li.withColumn("px", (F.col(ROW_ID) % 1000).cast("double")).withColumn(
+        "py", ((F.col(ROW_ID) / 1000).cast("long")).cast("double")
+    )
+    g = georef(li, coords=["px", "py"])
+    g = transform(g, revenue=F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    g = TR.filter_rows(g, F.col("l_quantity") > 45.0)
+    return g.df.select("l_orderkey", "l_linenumber", "revenue")
+
+
+def q_vcat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _cust_points(spark, sf_dir, keep=["c_name", "c_acctbal"])
+    a = TR.filter_rows(a, F.col(ROW_ID) <= 500)
+    b = _cust_points(spark, sf_dir, keep=["c_name", "c_mktsegment"])
+    b = TR.filter_rows(b, F.col(ROW_ID) >= 1000)
+    out = vcat(a, b, kind="union")
+    return out.df.select("c_name", "c_acctbal", "c_mktsegment")
+
+
+def q_hcat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _cust_points(spark, sf_dir, keep=["c_acctbal"])
+    b = _cust_points(spark, sf_dir, keep=["c_acctbal", "c_nationkey"])
+    out = hcat(a, b)
+    return out.df.select(
+        F.col(ROW_ID).alias("c_custkey"), "c_acctbal", "c_acctbal_", "c_nationkey"
+    )
+
+
+def q_partition_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _cust_points(spark, sf_dir, keep=[])
+    res = partition_block(cust, 10.0)
+    return res.df.select(F.col(ROW_ID).alias("c_custkey"), F.col("partition_id"))
+
+
+def q_sort_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _cust_points(spark, sf_dir, keep=[])
+    geom = F.col(GEOM)
+    proj = geom["x"] * 1.0 + geom["y"] * 0.5
+    w = W.orderBy(proj.asc(), F.col(ROW_ID).asc())
+    return cust.df.select(
+        F.col(ROW_ID).alias("c_custkey"), F.row_number().over(w).cast("long").alias("rnk")
+    )
+
+
+def q_grid_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = georef_grid(spark, 100, 100, ox=0.0, oy=0.0, sx=1.0, sy=1.0)
+    g = GeoTable(df=g.df.withColumn("val", (F.col(ROW_ID) * 13) % 97), crs=g.crs, grid=g.grid)
+    sub = grid_subset(g, 10, 29, 40, 59)
+    geom = F.col(GEOM)
+    return sub.df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("val").cast("long").alias("sum_val"),
+        F.sum(geom["xmin"]).cast("long").alias("sum_xmin"),
+        F.sum(geom["ymax"]).cast("long").alias("sum_ymax"),
+    )
+
+
+def q_spatial_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _cust_points(spark, sf_dir, keep=[])
+    box = st_box(-50.0, -50.0, 50.0, 50.0)
+    out = spatial_filter(cust.df, box, pred="within")
+    return out.select(F.col(ROW_ID).alias("c_custkey"))
+
+
+# ---- text / dedup / similarity (training-data pipeline ops) ---------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return doc.select(
+        "doc_id",
+        TS.token_count(t).cast("long").alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars_txt"),
+        F.round(TS.punct_ratio(t), 6).alias("punct_r"),
+        F.round(TS.stopword_ratio(t), 6).alias("stop_r"),
+        F.round(TS.mean_token_len(t), 6).alias("mean_tok"),
+        TS.quality_score(t).alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc.select("doc_id", TS.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc.select("doc_id", TS.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.dedup_exact_groups(doc, "doc_id", "text").select(
+        "keeper_id", F.col("dup_count").cast("long").alias("dup_count"), "fp"
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.ngram_jaccard_pairs(doc, "doc_id", "text", n=3, threshold=0.8)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.minhash_lsh_pairs(
+        doc, "doc_id", "text", threshold=0.8, num_perm=64, bands=32, shingle_n=3
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.simhash_pairs(doc, "doc_id", "text", max_hamming=3, shingle_n=2)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return DD.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SS.cosine_topk(emb, queries, k=5).withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SS.ann_lsh_topk(emb, queries, k=5, planes=12, probes=1).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+# ---- web pages (north-star input shape) -----------------------------------
+
+
+def q_webpages_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = geotagged_webpages(spark, sf_dir)
+    pages = GeoTable(
+        df=pages.df.withColumn("page_id", F.col(ROW_ID)).select(ROW_ID, "page_id", "url", GEOM),
+        crs=pages.crs,
+    )
+    res = geojoin(_tiles(spark, crs="LatLon"), pages, aggs={"page_id": "count", "url": "min"}, kind="inner")
+    return res.df.select(
+        "tile_id",
+        F.col("page_id").cast("long").alias("n_pages"),
+        F.col("url").alias("min_url"),
+    )
+
+
+def q_webpages_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = webpages_from_documents(spark, sf_dir)
+    return pages.select(
+        "url",
+        F.unix_timestamp("warc_ts").alias("ts_epoch"),
+        "lang",
+        TS.fingerprint(F.col("text")).alias("fp"),
+        F.octet_length("html").cast("long").alias("n_bytes"),
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = webpages_from_documents(spark, sf_dir)
+    meta = attach_media_meta(pages, "html", "image").select(
+        F.col("row_id").alias("doc_id"),
+        "url",
+        F.col("html_meta.media_type").alias("media_type"),
+        F.col("html_meta.format").alias("format"),
+        F.col("html_meta.n_bytes").alias("n_bytes"),
+    )
+    frames = (
+        frame_sample_plan(pages, "html", "row_id", every_ms=1000)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_frames"))
+        .withColumnRenamed("id", "doc_id")
+    )
+    return meta.join(frames, on="doc_id", how="left")
+
+
+def q_feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _cust_points(spark, sf_dir, keep=["c_acctbal", "c_mktsegment"])
+    g = TR.filter_rows(cust, F.col("c_acctbal") > 0.0)
+    g = TR.onehot(g, "c_mktsegment", ["BUILDING", "MACHINERY"])
+    g = TR.zscore(g, "c_acctbal")
+    return g.df.select(
+        F.col(ROW_ID).alias("c_custkey"),
+        F.round(F.col("c_acctbal"), 6).alias("z_bal"),
+        F.col("c_mktsegment_BUILDING").cast("long").alias("seg_building"),
+        F.col("c_mktsegment_MACHINERY").cast("long").alias("seg_machinery"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: geotagged Common-Crawl-style pages → 10° tile geojoin."""
+    return q_webpages_tiles(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "georef_points": q_georef_points,
+        "geojoin_tiles_left": q_geojoin_tiles_left,
+        "geojoin_tiles_inner": q_geojoin_tiles_inner,
+        "geojoin_within": q_geojoin_within,
+        "geojoin_knn": q_geojoin_knn,
+        "tablejoin_orders": q_tablejoin_orders,
+        "groupby_combine": q_groupby_combine,
+        "transform_revenue": q_transform_revenue,
+        "vcat_union": q_vcat_union,
+        "hcat": q_hcat,
+        "partition_block": q_partition_block,
+        "sort_direction": q_sort_direction,
+        "grid_subset": q_grid_subset,
+        "spatial_select": q_spatial_select,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_cosine": q_ann_cosine,
+        "ann_lsh": q_ann_lsh,
+        "webpages_tiles": q_webpages_tiles,
+        "webpages_identity": q_webpages_identity,
+        "multimodal_meta": q_multimodal_meta,
+        "feature_zscore": q_feature_zscore,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _sql_lang_scores() -> str:
+    parts = []
+    for lang, words in TS.LANG_STOPWORDS.items():
+        lit = "'" + "','".join(words) + "'"
+        parts.append(
+            f"len(list_filter(toks, t -> list_contains([{lit}], lower(t)))) AS s_{lang}"
+        )
+    return ", ".join(parts)
+
+
+_SQL_FP = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(regexp_split_to_array({col}, ''), c -> CAST(unicode(c) AS BIGINT))), "
+    "(acc, c) -> (acc*31 + c) % 1000000007)"
+)
+
+_SQL_SHINGLES3 = (
+    "list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ') "
+    "for i in range(1, greatest(len(toks)-2, 1) + 1)])"
+)
+
+_SQL_JACCARD = f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_SHINGLES3} AS sh
+  FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.8
+"""
+
+_SQL_PAGES = f"""
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example.com/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+         1704067200 + (doc_id * 9973) % 31536000 AS ts_epoch,
+         text || ' geo:' || CAST((doc_id*7919)%1700*1000 + 500 - 850000 AS VARCHAR)
+              || ',' || CAST((doc_id*104729)%3600*1000 + 500 - 1800000 AS VARCHAR) AS text,
+         lang,
+         {SQL_LAT} AS lat, {SQL_LON} AS lon
+  FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tri = _sql_halfplanes(POLY_TRI, "cx", "cy")
+    dia = _sql_halfplanes(POLY_DIA, "cx", "cy")
+    quality = (
+        "round((least(n_tokens/100.0, 1.0) + least(stop_raw*4.0, 1.0) + "
+        "1.0 - least(punct_raw*5.0, 1.0))/3.0, 6)"
+    )
+    return {
+        "georef_points": f"""
+            SELECT c_custkey, c_name, {SQL_CX} AS x, {SQL_CY} AS y FROM customer
+        """,
+        "geojoin_tiles_left": f"""
+            SELECT c_custkey, {SQL_TILE_FROM_CXY} AS tile_id
+            FROM (SELECT c_custkey, {SQL_CX} AS cx, {SQL_CY} AS cy FROM customer)
+        """,
+        "geojoin_tiles_inner": f"""
+            SELECT {SQL_TILE_FROM_CXY} AS tile_id,
+                   count(*) AS n_pts, round(avg(c_acctbal), 4) AS avg_bal
+            FROM (SELECT c_custkey, c_acctbal, {SQL_CX} AS cx, {SQL_CY} AS cy FROM customer)
+            GROUP BY 1
+        """,
+        "geojoin_within": f"""
+            WITH pts AS (SELECT c_custkey, {SQL_CX} AS cx, {SQL_CY} AS cy FROM customer),
+            m AS (
+              SELECT c_custkey, region_name, weight FROM pts, (VALUES (0,'tri',3.0),(1,'dia',7.0)) AS polys(pid, region_name, weight)
+              WHERE (pid = 0 AND {tri}) OR (pid = 1 AND {dia})
+            )
+            SELECT p.c_custkey,
+                   arg_min(m.region_name, m.weight) AS region_name,  -- 'tri' has pid 0 = lower row_id AND lower weight
+                   avg(m.weight) AS wt
+            FROM pts p LEFT JOIN m ON p.c_custkey = m.c_custkey
+            GROUP BY p.c_custkey
+        """,
+        "geojoin_knn": f"""
+            WITH c AS (SELECT c_custkey, {SQL_CX} AS cx, {SQL_CY} AS cy FROM customer),
+            s AS (SELECT s_suppkey, {SQL_SX} AS sx, {SQL_SY} AS sy FROM supplier),
+            d AS (
+              SELECT c.c_custkey, s.s_suppkey,
+                     sqrt((c.cx-s.sx)*(c.cx-s.sx) + (c.cy-s.sy)*(c.cy-s.sy)) AS dist
+              FROM c CROSS JOIN s
+            ),
+            r AS (
+              SELECT c_custkey, s_suppkey, dist,
+                     row_number() OVER (PARTITION BY c_custkey ORDER BY dist ASC, s_suppkey ASC) AS rnk
+              FROM d
+            )
+            SELECT c_custkey, CAST(rnk AS BIGINT) AS rank, s_suppkey, round(dist, 6) AS dist
+            FROM r WHERE rnk <= 3
+        """,
+        "tablejoin_orders": """
+            SELECT c.c_custkey, c.c_name,
+                   CASE WHEN count(o.o_orderkey) = 0 THEN NULL ELSE count(o.o_orderkey) END AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS total_price,
+                   arg_min(o.o_orderpriority, o.o_orderkey) AS first_priority
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey, c.c_name
+        """,
+        "groupby_combine": f"""
+            SELECT c_nationkey, min(c_custkey) AS first_custkey,
+                   count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal,
+                   round(avg({SQL_CX}), 6) AS cx, round(avg({SQL_CY}), 6) AS cy
+            FROM customer GROUP BY c_nationkey
+        """,
+        "transform_revenue": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) AS revenue
+            FROM lineitem WHERE l_quantity > 45.0
+        """,
+        "vcat_union": """
+            SELECT c_name, c_acctbal, NULL AS c_mktsegment FROM customer WHERE c_custkey <= 500
+            UNION ALL
+            SELECT c_name, NULL AS c_acctbal, c_mktsegment FROM customer WHERE c_custkey >= 1000
+        """,
+        "hcat": """
+            SELECT c_custkey, c_acctbal, c_acctbal AS c_acctbal_, c_nationkey FROM customer
+        """,
+        "partition_block": f"""
+            SELECT c_custkey,
+                   CAST(floor(cx/10.0) AS BIGINT)*2147483648 + CAST(floor(cy/10.0) AS BIGINT) AS partition_id
+            FROM (SELECT c_custkey, {SQL_CX} AS cx, {SQL_CY} AS cy FROM customer)
+        """,
+        "sort_direction": f"""
+            SELECT c_custkey,
+                   CAST(row_number() OVER (ORDER BY cx*1.0 + cy*0.5 ASC, c_custkey ASC) AS BIGINT) AS rnk
+            FROM (SELECT c_custkey, {SQL_CX} AS cx, {SQL_CY} AS cy FROM customer)
+        """,
+        "grid_subset": """
+            SELECT count(*) AS n_cells, CAST(sum((id*13)%97) AS BIGINT) AS sum_val,
+                   CAST(sum(id % 100) AS BIGINT) AS sum_xmin,
+                   CAST(sum(id // 100 + 1) AS BIGINT) AS sum_ymax
+            FROM range(10000) t(id)
+            WHERE id % 100 BETWEEN 10 AND 29 AND id // 100 BETWEEN 40 AND 59
+        """,
+        "spatial_select": f"""
+            SELECT c_custkey FROM (SELECT c_custkey, {SQL_CX} AS cx, {SQL_CY} AS cy FROM customer)
+            WHERE cx >= -50.0 AND cx <= 50.0 AND cy >= -50.0 AND cy <= 50.0
+        """,
+        "text_stats": f"""
+            SELECT doc_id, n_tokens, n_chars_txt,
+                   round(punct_raw, 6) AS punct_r, round(stop_raw, 6) AS stop_r,
+                   round(mean_raw, 6) AS mean_tok, {quality} AS quality
+            FROM (
+              SELECT doc_id,
+                     CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS BIGINT) AS n_tokens,
+                     CAST(length(text) AS BIGINT) AS n_chars_txt,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE CAST(length(text) - length(regexp_replace(text, '[^0-9A-Za-z ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS punct_raw,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE CAST(len(list_filter(toks, t -> list_contains([{_STOP}], lower(t)))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stop_raw,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS mean_raw
+              FROM (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents)
+            )
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                        WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                        WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                        WHEN s_fr >= s_de THEN 'fr'
+                        ELSE 'de' END AS lang_pred
+            FROM (
+              SELECT doc_id, {_sql_lang_scores()}
+              FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
+            )
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, {_SQL_FP.format(col="text")} AS fp FROM documents
+        """,
+        "dedup_exact": f"""
+            SELECT min(doc_id) AS keeper_id, count(*) AS dup_count,
+                   {_SQL_FP.format(col="text")} AS fp
+            FROM documents GROUP BY text
+        """,
+        "ngram_jaccard": _SQL_JACCARD,
+        "minhash_lsh": _SQL_JACCARD,  # LSH with 32 bands × 2 rows has recall ~1 at j>=0.8
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                  / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.35
+        """,
+        "ann_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))) AS cosine
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.query_id
+            ),
+            r AS (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM scored
+            )
+            SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, round(cosine, 6) AS cosine
+            FROM r WHERE rnk <= 5
+        """,
+        "webpages_tiles": f"""
+            WITH pages AS ({_SQL_PAGES})
+            SELECT CAST(floor((lat+90.0)/10.0) AS BIGINT)*36 + CAST(floor((lon+180.0)/10.0) AS BIGINT) AS tile_id,
+                   count(*) AS n_pages, min(url) AS min_url
+            FROM pages GROUP BY 1
+        """,
+        "webpages_identity": f"""
+            WITH pages AS ({_SQL_PAGES})
+            SELECT url, CAST(ts_epoch AS BIGINT) AS ts_epoch, lang,
+                   {_SQL_FP.format(col="text")} AS fp,
+                   CAST(length(text) + 26 AS BIGINT) AS n_bytes  -- '<html><body>' (12) + '</body></html>' (14); ASCII: bytes == chars
+            FROM pages
+        """,
+        "multimodal_meta": f"""
+            WITH pages AS ({_SQL_PAGES})
+            SELECT doc_id, url, 'image' AS media_type, NULL AS format,
+                   CAST(length(text) + 26 AS BIGINT) AS n_bytes,
+                   CAST(floor(greatest((length(text) + 26) // 1000 * 1000 - 1, 0) / 1000) + 1 AS BIGINT) AS n_frames
+            FROM pages
+        """,
+        "feature_zscore": """
+            WITH f AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer WHERE c_acctbal > 0.0),
+            s AS (SELECT avg(c_acctbal) AS m, stddev_samp(c_acctbal) AS sd FROM f)
+            SELECT c_custkey, round((c_acctbal - s.m)/s.sd, 6) AS z_bal,
+                   CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS BIGINT) AS seg_building,
+                   CAST(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS BIGINT) AS seg_machinery
+            FROM f, s
+        """,
+    }

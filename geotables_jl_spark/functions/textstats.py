@@ -1,0 +1,138 @@
+"""Text analysis for web-scale training-data pipelines.
+
+Everything here is pure JVM column expressions (``pyspark.sql.functions``
+— split/filter/aggregate/regexp) so the hot path stays inside
+whole-stage codegen: language-ID (stopword-hit heuristic), quality
+scoring (length / punctuation / stopword ratios), token counting, and a
+polynomial rolling-hash document fingerprint. Each is deliberately
+ANSI-SQL-expressible so the DuckDB oracle can replay it exactly.
+
+At 100 TB these are map-only stages fused into the scan — no shuffle, no
+Python, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the n-gram/stopword-hit heuristic
+#: (deterministic, dependency-free language ID — not a real classifier)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "is", "in", "to", "it"],
+    "es": ["el", "la", "de", "y", "en", "que", "los", "un"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit"],
+}
+
+#: stopwords used by the quality score (English-ish)
+QUALITY_STOPWORDS = ["the", "a", "and", "of", "is", "in", "to", "it", "that", "for"]
+
+FP_MOD = 1_000_000_007
+FP_BASE = 31
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization: array of non-empty tokens."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Number of whitespace-separated tokens (0 for empty/blank text)."""
+    return F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(tokens(text)))
+
+
+def _count_in(arr: Column, words: list[str]) -> Column:
+    lit_arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(arr, lambda t: F.array_contains(lit_arr, F.lower(t))))
+
+
+def stopword_ratio(text: Column, words: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords (NULL-safe, 0 for empty)."""
+    toks = tokens(text)
+    n = token_count(text)
+    hits = _count_in(toks, words or QUALITY_STOPWORDS)
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n.cast("double"))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not alphanumeric or space."""
+    n = F.length(text)
+    clean = F.length(F.regexp_replace(text, "[^0-9A-Za-z ]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise((n - clean).cast("double") / n.cast("double"))
+
+
+def mean_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    n = token_count(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(n == 0, F.lit(0.0)).otherwise(total.cast("double") / n.cast("double"))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0, 1] quality heuristic: rewards mid-length docs with
+    some stopwords and low punctuation noise (Gopher-rule-style gates
+    without the thresholds — continuous version for ranking/filtering)."""
+    n = token_count(text).cast("double")
+    len_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * F.lit(4.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * F.lit(5.0), F.lit(1.0))
+    return F.round((len_term + stop_term + punct_term) / F.lit(3.0), 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-hit count per candidate language."""
+    toks = tokens(text)
+    return {lang: _count_in(toks, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by stopword hits; ties broken by the fixed language
+    order en > es > fr > de; no hits at all → 'und' (undetermined)."""
+    scores = lang_scores(text)
+    order = list(LANG_STOPWORDS)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # fold right-to-left so earlier languages win ties with >= semantics
+    for lang in reversed(order):
+        s = scores[lang]
+        best_lang = F.when(s >= best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.greatest(s, best_score)
+    # "no hits" must stay 'und': recompute with strict zero guard
+    any_hits = None
+    for lang in order:
+        any_hits = scores[lang] if any_hits is None else F.greatest(any_hits, scores[lang])
+    return F.when(any_hits > 0, best_lang).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Polynomial rolling-hash fingerprint over the character codes:
+
+        fp = fold(chars, 0, (acc, c) -> (acc * 31 + ascii(c)) mod 1e9+7)
+
+    Pure column math (split + aggregate) — exact integer arithmetic, so
+    any engine reproduces it bit-for-bit. Used for cheap content identity
+    at scale (doc-level dedup key that survives storage format changes).
+    """
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(FP_BASE) + F.ascii(c)) % F.lit(FP_MOD),
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the MinHash/Jaccard unit).
+
+    transform over a 0..len-n sequence + slice + concat_ws — JVM only.
+    Documents shorter than n tokens produce their full token string as a
+    single shingle (so short docs still participate).
+    """
+    toks = tokens(text)
+    cnt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt - F.lit(n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)

@@ -1,0 +1,7 @@
+from geotables_jl_spark.sources.webpages import (
+    extract_geotags,
+    geotagged_webpages,
+    webpages_from_documents,
+)
+
+__all__ = ["webpages_from_documents", "extract_geotags", "geotagged_webpages"]
