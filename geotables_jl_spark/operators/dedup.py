@@ -121,14 +121,46 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(text: Column, num_perm: int = 64, shingle_n: int = 3) -> Column:
-    """array<long> MinHash signature: perm i = min over shingles of
-    xxhash64(shingle, i). Deterministic (seeded hash family), pure JVM."""
-    sh = shingles(text, shingle_n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+_MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def _perm_constants(num_perm: int, seed: int = 1234567) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash permutation
+    family h_i(x) = (a_i*x + b_i) mod p — a_i, b_i < 2^31 so products
+    with x < p stay under 2^62 (no ANSI overflow)."""
+    consts = []
+    state = seed
+    for _ in range(num_perm):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state >> 16) % (_MINHASH_P - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = (state >> 16) % _MINHASH_P
+        consts.append((a, b))
+    return consts
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 64, shingle_n: int = 3
+) -> DataFrame:
+    """(id, s0..s{num_perm-1}) MinHash signature columns.
+
+    Scale-shaped plan: explode shingles → hash each shingle string ONCE
+    (codegen'd xxhash64 on rows, not interpreted array lambdas) → apply
+    the permutation family as static integer column math → one
+    map-side-combinable ``groupBy(id).agg(min...)``. Cost is
+    O(shingles) string hashes + O(shingles × num_perm) compiled integer
+    ops; the only shuffle is the partial-aggregated groupBy."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
     )
+    h = sh.withColumn("__h", F.pmod(F.xxhash64("__sh"), F.lit(_MINHASH_P)))
+    consts = _perm_constants(num_perm)
+    aggs = [
+        F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))).alias(f"s{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    return h.groupBy("__id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -144,36 +176,31 @@ def minhash_lsh_pairs(
     """Near-dup pairs by MinHash + banded LSH, exact-Jaccard verified.
 
     bands × rows = num_perm; a pair lands in a bucket iff one band of
-    their signatures agrees — P(candidate) = 1-(1-j^r)^b (≈ .9998 at
-    j=0.8 with 16×4). Buckets are (band_id, hash(band slice)) groups →
-    pairs within buckets (sorted collect, pairwise explode — bucket size
-    is bounded because identical band-slices imply near-identical docs;
-    truly giant buckets are exact-dup classes, which exact dedup removes
-    first at scale). ``verify`` recomputes exact shingle Jaccard on the
-    candidates only.
+    their signatures agrees — P(candidate) = 1-(1-j^r)^b. Buckets are
+    (band_id, hash(band slice)) groups → pairs within buckets (sorted
+    collect, pairwise explode — bucket size is bounded because identical
+    band-slices imply near-identical docs; truly giant buckets are
+    exact-dup classes, which exact dedup removes first at scale).
+    ``verify`` recomputes exact shingle Jaccard on the candidates only.
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     rows = num_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__text"),
-        minhash_signature(F.col(text_col), num_perm, shingle_n).alias("__sig"),
-    )
-    banded = sig.select(
-        "__id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.slice(F.col("__sig"), b * rows + 1, rows))).alias(
-                        "bucket"
-                    ),
-                ),
+    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", *[F.col(f"s{b * rows + r}") for r in range(rows)])
+                ).alias("bucket"),
             )
-        ).alias("__bb"),
-    ).select("__id", F.col("__bb.band").alias("__band"), F.col("__bb.bucket").alias("__bucket"))
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("__id", F.explode(band_structs).alias("__bb")).select(
+        "__id", F.col("__bb.band").alias("__band"), F.col("__bb.bucket").alias("__bucket")
+    )
 
     members = banded.groupBy("__band", "__bucket").agg(
         F.array_sort(F.collect_set("__id")).alias("__ids")
@@ -217,29 +244,36 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(text: Column, shingle_n: int = 2) -> Column:
-    """64-bit SimHash as a long — JVM bit math, no Python.
+def _bit_lit(b: int) -> Column:
+    """long literal with only bit b set (bit 63 = sign bit = min long)."""
+    return F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
 
-    For each bit b: sign(sum over shingles of ±1 by bit b of the shingle
-    hash). Implemented as one fold per bit over the shingle-hash array
-    (64 folds of a small array — codegen'd, still cheaper than moving
-    text to Python)."""
-    hashes = F.transform(shingles(text, shingle_n), lambda s: F.xxhash64(s))
-    def bit_vote(b: int) -> Column:
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << b if b < 63 else -(1 << 63))) != 0, 1).otherwise(-1),
-        )
-        return F.when(votes > 0, F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
 
-    out = F.lit(0).cast("long")
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 2
+) -> DataFrame:
+    """(__id, __sim) 64-bit SimHash per doc — all compiled JVM column math.
+
+    Scale-shaped plan (same as MinHash): explode shingles → one
+    codegen'd xxhash64 per shingle row → 64 static ±1 vote columns
+    (shift/mask with constant bit positions) → map-side-combinable
+    ``groupBy(id).agg(sum...)`` → sign of each vote sets one bit."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+    h = sh.withColumn("__h", F.xxhash64("__sh"))
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = h.groupBy("__id").agg(*votes)
+    sim = F.lit(0).cast("long")
     for b in range(64):
-        out = out.bitwiseOR(bit_vote(b))
-    return out
+        sim = sim.bitwiseOR(F.when(F.col(f"v{b}") > 0, _bit_lit(b)).otherwise(F.lit(0).cast("long")))
+    return agg.select("__id", sim.alias("__sim"))
 
 
 def simhash_pairs(
@@ -258,7 +292,7 @@ def simhash_pairs(
     """
     nchunks = max_hamming + 1
     width = 64 // nchunks
-    sig = df.select(F.col(id_col).alias("__id"), simhash(F.col(text_col), shingle_n).alias("__sim"))
+    sig = simhash_signatures(df, id_col, text_col, shingle_n)
     chunk_structs = F.array(
         *[
             F.struct(

@@ -49,6 +49,13 @@ def webpages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     - lang     = passthrough
     """
     doc = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    return webpages_from_df(doc)
+
+
+def webpages_from_df(doc: DataFrame) -> DataFrame:
+    """Same derivation over any (doc_id, text, lang, source) DataFrame —
+    used by the scaling bench to amplify the corpus deterministically
+    (replicated doc_ids get distinct urls/coords/timestamps)."""
     did = F.col("doc_id")
     ilat = ((did * F.lit(7919)) % F.lit(1700)) * F.lit(1000) + F.lit(500) - F.lit(850000)
     ilon = ((did * F.lit(104729)) % F.lit(3600)) * F.lit(1000) + F.lit(500) - F.lit(1800000)
