@@ -293,8 +293,15 @@ def q_spatial_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- text / dedup / similarity (training-data pipeline ops) ---------------
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with input splits normalized (single-row-group fixture
+    file → one task otherwise; deterministic hash repartition)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc = _docs(spark, sf_dir)
     t = F.col("text")
     return doc.select(
         "doc_id",
@@ -308,36 +315,36 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc = _docs(spark, sf_dir)
     return doc.select("doc_id", TS.lang_id(F.col("text")).alias("lang_pred"))
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc = _docs(spark, sf_dir)
     return doc.select("doc_id", TS.fingerprint(F.col("text")).alias("fp"))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc = _docs(spark, sf_dir)
     return DD.dedup_exact_groups(doc, "doc_id", "text").select(
         "keeper_id", F.col("dup_count").cast("long").alias("dup_count"), "fp"
     )
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc = _docs(spark, sf_dir)
     return DD.ngram_jaccard_pairs(doc, "doc_id", "text", n=3, threshold=0.8)
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc = _docs(spark, sf_dir)
     return DD.minhash_lsh_pairs(
         doc, "doc_id", "text", threshold=0.8, num_perm=64, bands=32, shingle_n=3
     )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc = _docs(spark, sf_dir)
     return DD.simhash_pairs(doc, "doc_id", "text", max_hamming=3, shingle_n=2)
 
 

@@ -141,9 +141,16 @@ def candidate_pairs(
     n2: int,
     right_extra: list[str],
     salt: int = 1,
+    dedupe: bool = True,
 ) -> DataFrame:
     """Stage 1: cell-cover equi-join → deduped (lid, rid) candidate pairs
-    carrying both geometry structs and the right-side payload columns."""
+    carrying both geometry structs and the right-side payload columns.
+
+    ``dedupe=False`` skips the (lid, rid) distinct shuffle — correct
+    whenever at least one side is all points (a point covers exactly one
+    cell, so a pair can only meet in one cell). The caller decides from
+    envelope stats; for point-heavy web-scale joins this removes an
+    entire shuffle of the candidate stream."""
     left_on = [f"__lon_{c}" for c in on]
     right_on = [f"__ron_{c}" for c in on]
     l = _cover_side(df1.select(ROW_ID, GEOM, *on), cell_size, _LID, "__lgeom", on)
@@ -177,9 +184,9 @@ def candidate_pairs(
     pairs = l.join(r, cond, "inner").select(
         _LID, "__lgeom", _RID, "__rgeom", *right_extra
     )
-    # a pair sharing several cover cells appears once per cell: dedupe.
-    # points cover exactly 1 cell each, so point-point joins skip this.
-    return pairs.dropDuplicates([_LID, _RID])
+    # a pair sharing several cover cells appears once per cell: dedupe —
+    # unless one side is all points (single-cell covers ⇒ already unique).
+    return pairs.dropDuplicates([_LID, _RID]) if dedupe else pairs
 
 
 def _bbox_overlap(lg: Column, rg: Column) -> Column:
@@ -191,32 +198,32 @@ def _bbox_overlap(lg: Column, rg: Column) -> Column:
     )
 
 
-def refine(pairs: DataFrame, pred: str) -> DataFrame:
+def refine(pairs: DataFrame, pred: str, pts1: bool = False, pts2: bool = False) -> DataFrame:
     """Stage 2: exact predicate over candidate pairs.
 
     Fast paths stay in the JVM: bbox prefilter always; point-vs-point
-    equality exactly; for within/contains an envelope containment
-    prefilter. Only geometrically ambiguous pairs cross into Arrow.
+    equality exactly; only geometrically ambiguous pairs cross into
+    Arrow. ``pts1``/``pts2`` are plan-time hints (from envelope stats)
+    that a side is all points — they prune the impossible branch so the
+    candidate-pair plan is evaluated ONCE, not once per branch:
+
+    - both sides points → pure JVM equality, no Python at all;
+    - exactly one side points → single Arrow PIP pass, no JVM branch.
     """
     lg, rg = F.col("__lgeom"), F.col("__rgeom")
     pairs = pairs.filter(_bbox_overlap(lg, rg))
 
-    kinds = (lg["kind"], rg["kind"])
-    pt_pt = (kinds[0] == 1) & (kinds[1] == 1)
-    # if everything is point-vs-point the predicate is exact equality — JVM only
-    # (cheap static check on the plan is not possible; use a runtime split)
-    jvm_exact = pt_pt & (lg["x"] == rg["x"]) & (lg["y"] == rg["y"])
-
-    ambiguous = pairs.filter(~pt_pt)
-    exact = pairs.filter(pt_pt).filter(jvm_exact)
+    if pts1 and pts2:
+        # point vs point: every predicate reduces to coordinate equality
+        return pairs.filter((lg["x"] == rg["x"]) & (lg["y"] == rg["y"])).drop(
+            "__lgeom", "__rgeom"
+        )
 
     out_fields = [f for f in pairs.schema.fields if f.name not in ("__lgeom", "__rgeom")]
     out_schema = T.StructType(out_fields)
     out_cols = [f.name for f in out_fields]
 
     def _iter(batches):
-        import pandas as pd  # executor-side
-
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -229,6 +236,15 @@ def refine(pairs: DataFrame, pred: str) -> DataFrame:
             )
             yield pdf.loc[mask, out_cols]
 
+    if pts1 or pts2:
+        # mixed point/polygon: no pt-pt pairs exist — one Arrow pass
+        return pairs.mapInPandas(_iter, schema=out_schema)
+
+    kinds = (lg["kind"], rg["kind"])
+    pt_pt = (kinds[0] == 1) & (kinds[1] == 1)
+    jvm_exact = pt_pt & (lg["x"] == rg["x"]) & (lg["y"] == rg["y"])
+    ambiguous = pairs.filter(~pt_pt)
+    exact = pairs.filter(pt_pt).filter(jvm_exact)
     refined = ambiguous.mapInPandas(_iter, schema=out_schema)
     return refined.unionByName(exact.select(*out_cols))
 
@@ -298,8 +314,15 @@ def geojoin(
         s1 = envelope_stats(df1)
         s2 = envelope_stats(df2)
         size = cell_size or choose_cell_size(s1, s2)
-        pairs = candidate_pairs(df1, df2, size, on, s1["n"], s2["n"], right_cols, salt=salt)
-        matched = refine(pairs, pred)
+        # all-points sides (zero mean envelope extent) unlock plan pruning:
+        # no pair dedupe needed, and refine can skip impossible branches
+        pts1 = s1["n"] > 0 and not s1["avg_w"] and not s1["avg_h"]
+        pts2 = s2["n"] > 0 and not s2["avg_w"] and not s2["avg_h"]
+        pairs = candidate_pairs(
+            df1, df2, size, on, s1["n"], s2["n"], right_cols, salt=salt,
+            dedupe=not (pts1 or pts2),
+        )
+        matched = refine(pairs, pred, pts1=pts1, pts2=pts2)
 
     agg_exprs = build_aggs(df2, right_cols, aggs)
     agg = matched.groupBy(_LID).agg(*agg_exprs)

@@ -49,6 +49,10 @@ def webpages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     - lang     = passthrough
     """
     doc = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    # fixture parquets are single-row-group files (one input split); a
+    # real corpus has thousands of splits — normalize so downstream
+    # per-row work parallelizes (deterministic: hash on the key).
+    doc = doc.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return webpages_from_df(doc)
 
 

@@ -1,0 +1,247 @@
+"""Training-data-pipeline operators: dedup, similarity search, text
+analysis, multimodal plumbing, web-page source invariants.
+
+Fixtures plant known near-duplicates so expected match sets are exact
+(mirrors the reference's golden-fixture style, ``test/operations.jl``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geotables_jl_spark.functions import textstats as TS
+from geotables_jl_spark.operators import dedup as DD
+from geotables_jl_spark.operators import simsearch as SS
+from geotables_jl_spark.operators.multimodal import (
+    attach_media_meta,
+    decode_resize_features,
+    frame_sample_plan,
+    sniff_format,
+)
+from geotables_jl_spark.sources.webpages import (
+    extract_geotags,
+    geotagged_webpages,
+    webpages_from_documents,
+)
+
+SF = "/root/testdata/sf0.001"
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while a crow watches from "
+    "the old oak tree and counts every hop with great patience"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),  # near-dup of 0 (1 token)
+        (3, "completely different text about spark shuffles and parquet files here"),
+        (4, "el gato y el perro en la casa de la abuela que es muy grande"),
+        (5, "short one"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# -- dedup ------------------------------------------------------------------
+
+
+def test_dedup_exact(spark, docs):
+    kept = DD.dedup_exact(docs, "doc_id", "text")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [0, 2, 3, 4, 5]  # doc 1 collapsed into keeper 0
+
+    groups = {r["keeper_id"]: r["dup_count"] for r in DD.dedup_exact_groups(docs, "doc_id", "text").collect()}
+    assert groups[0] == 2 and groups[2] == 1
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0  # planted near-dup
+    assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in pairs)
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, docs):
+    lsh = {(r["id_a"], r["id_b"]) for r in DD.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5, num_perm=64, bands=32).collect()}
+    exact = {(r["id_a"], r["id_b"]) for r in DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()}
+    assert lsh == exact  # 32 bands × 2 rows ⇒ recall ≈ 1 at j ≥ 0.5
+
+
+def test_simhash_pairs(spark):
+    # simhash needs enough shingles for stable bit margins: longer docs
+    long = " ".join([BASE] * 6)
+    rows = [
+        (0, long),
+        (1, long),  # exact dup → hamming 0
+        (2, long.replace("lazy", "sleepy")),  # near-dup → small hamming
+        (3, "totally different words entirely about spark and parquet"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in DD.simhash_pairs(df, "doc_id", "text", max_hamming=8).collect()}
+    assert pairs[(0, 1)] == 0  # identical text, identical simhash
+    assert (0, 2) in pairs and 0 < pairs[(0, 2)] <= 8  # planted near-dup
+    assert all({a, b} <= {0, 1, 2} for a, b in pairs)  # doc 3 stays out
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((8, 16))
+    rows = [(i, [float(x) for x in base[i]], 0) for i in range(8)]
+    # vec 8 = vec 0 + tiny noise (near-dup); vec 9 = -vec 1 (anti-correlated)
+    rows.append((8, [float(x) for x in base[0] + 0.01 * rng.standard_normal(16)], 0))
+    rows.append((9, [float(-x) for x in base[1]], 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_embedding_neardup(spark, vecs):
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in DD.embedding_neardup_pairs(vecs, "vec_id", "embedding", threshold=0.95).collect()}
+    assert list(pairs) == [(0, 8)] and pairs[(0, 8)] > 0.99
+
+
+def _np_topk(vecs_rows, qid, k):
+    ids = np.array([r[0] for r in vecs_rows])
+    M = np.array([r[1] for r in vecs_rows], dtype=np.float64)
+    q = M[list(ids).index(qid)]
+    cos = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    mask = ids != qid
+    order = np.lexsort((ids[mask], -cos[mask]))
+    return [int(ids[mask][i]) for i in order[:k]]
+
+
+def test_cosine_topk_vs_numpy(spark, vecs):
+    rows = [(r["vec_id"], r["embedding"]) for r in vecs.collect()]
+    queries = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = SS.cosine_topk(vecs, queries, k=3).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert by_q[0] == _np_topk(rows, 0, 3)
+    assert by_q[1] == _np_topk(rows, 1, 3)
+    assert by_q[0][0] == 8  # the planted near-dup is rank 1 for query 0
+
+
+def test_ann_lsh_subset_of_exact(spark, vecs):
+    queries = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r["query_id"], r["neighbor_id"]) for r in SS.cosine_topk(vecs, queries, k=3).collect()}
+    approx = SS.ann_lsh_topk(vecs, queries, k=3, planes=6, probes=2).collect()
+    assert all(r["rank"] <= 3 for r in approx)
+    # high-probe LSH on 10 vectors recovers the exact top-1 per query
+    top1 = {(r["query_id"], r["neighbor_id"]) for r in approx if r["rank"] == 1}
+    assert top1 <= exact
+
+
+# -- text analysis ----------------------------------------------------------
+
+
+def test_text_stats_and_langid(spark, docs):
+    out = {r["doc_id"]: r for r in docs.select(
+        "doc_id",
+        TS.token_count(F.col("text")).alias("n"),
+        TS.lang_id(F.col("text")).alias("lang"),
+        TS.fingerprint(F.col("text")).alias("fp"),
+        F.round(TS.stopword_ratio(F.col("text")), 6).alias("sr"),
+    ).collect()}
+    assert out[5]["n"] == 2
+    assert out[0]["n"] == len(BASE.split())
+    assert out[0]["lang"] == "en"
+    assert out[4]["lang"] == "es"
+    assert out[0]["fp"] == out[1]["fp"] != out[2]["fp"]
+    assert out[0]["sr"] > 0.0
+
+    # fingerprint is the documented polynomial hash — replicate in python
+    fp = 0
+    for ch in BASE:
+        fp = (fp * 31 + ord(ch)) % 1_000_000_007
+    assert out[0]["fp"] == fp
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "a b")], "id long, text string")
+    sh = df.select(TS.shingles(F.col("text"), 3).alias("s")).collect()[0]["s"]
+    assert sh == ["a b"]  # shorter than n → single whole-doc shingle
+
+
+# -- multimodal -------------------------------------------------------------
+
+PNG = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+JPG = b"\xff\xd8\xff\xe0" + b"\x01" * 100
+
+
+def test_sniff_and_meta(spark):
+    df = spark.createDataFrame([(1, bytearray(PNG)), (2, bytearray(JPG)), (3, bytearray(b"plain"))], "id long, blob binary")
+    out = {r["id"]: r for r in attach_media_meta(df, "blob", "image").select("id", "blob_meta.*").collect()}
+    assert out[1]["format"] == "png" and out[2]["format"] == "jpeg" and out[3]["format"] is None
+    assert out[1]["n_bytes"] == len(PNG)
+    assert out[1]["media_type"] == "image"
+
+
+def test_decode_features_deterministic(spark):
+    df = spark.createDataFrame([(1, bytearray(PNG)), (2, bytearray(JPG))], "id long, blob binary")
+    a = {r["id"]: r["features"] for r in decode_resize_features(df, "blob", "id", width=8, height=8).collect()}
+    b = {r["id"]: r["features"] for r in decode_resize_features(df.repartition(4), "blob", "id", width=8, height=8).collect()}
+    assert a == b and len(a[1]) == 3  # deterministic fake decode, RGB means
+
+
+def test_frame_plan(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x" * 2500)), (2, bytearray(b"y" * 500))], "id long, blob binary")
+    counts = {r["id"]: r["cnt"] for r in frame_sample_plan(df, "blob", "id", every_ms=1000).groupBy("id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert counts[1] == 2  # 2000ms stub duration → ts 0, 1000
+    assert counts[2] == 1  # 0ms → single frame at 0
+
+
+# -- web pages (north-star input shape) -------------------------------------
+
+
+def test_webpages_text_byte_identity(spark):
+    """Per-row invariant: extracted text is byte-identical per url —
+    stripping the geo marker recovers the source document text exactly."""
+    src = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", F.col("text").alias("orig"))
+    pages = webpages_from_documents(spark, SF).withColumn(
+        "stripped", F.regexp_replace("text", r" geo:-?\d+,-?\d+$", "")
+    )
+    joined = pages.join(src, pages["row_id"] == src["doc_id"])
+    assert joined.filter(F.col("stripped") != F.col("orig")).count() == 0
+    # html wraps the text byte-identically too
+    assert joined.filter(
+        F.decode("html", "UTF-8") != F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>"))
+    ).count() == 0
+
+
+def test_webpages_determinism_across_parallelism(spark):
+    a = sorted((r["url"], r["text"]) for r in webpages_from_documents(spark, SF).collect())
+    b = sorted(
+        (r["url"], r["text"])
+        for r in webpages_from_documents(spark, SF).repartition(16).collect()
+    )
+    assert a == b
+
+
+def test_geotag_extraction_bounds(spark):
+    g = geotagged_webpages(spark, SF)
+    geom = F.col("geometry")
+    bad = g.df.filter(
+        (geom["y"] < -85.0) | (geom["y"] > 85.0) | (geom["x"] < -180.0) | (geom["x"] > 180.0)
+    )
+    assert bad.count() == 0
+    assert g.crs == "LatLon"
+    # no page sits on a 10° tile boundary (the +500 decimilli offset)
+    on_edge = g.df.filter(
+        (F.col("geometry")["x"] % 10.0 == 0.0) | (F.col("geometry")["y"] % 10.0 == 0.0)
+    )
+    assert on_edge.count() == 0
+
+
+def test_extract_geotags_missing_marker(spark):
+    df = spark.createDataFrame([(1, "no marker here")], "row_id long, text string")
+    out = extract_geotags(df).collect()[0]
+    assert out["lat"] is None and out["lon"] is None

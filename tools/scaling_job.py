@@ -26,8 +26,14 @@ from geotables_jl_spark.sources.webpages import extract_geotags, webpages_from_d
 
 
 def amplified_pages(spark, sf_dir: str, amp: int):
-    """documents × amp with distinct doc_ids → distinct urls/coords."""
+    """documents × amp with distinct doc_ids → distinct urls/coords.
+
+    The fixture parquet is one row group = one input split; a real
+    corpus has thousands of splits, so hash-repartition on the key
+    BEFORE the explode — otherwise the whole scan+explode+geotag stage
+    runs as a single task and the scaling measurement is bogus."""
     doc = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang", "source")
+    doc = doc.repartition(spark.sparkContext.defaultParallelism * 3, "doc_id")
     doc = doc.withColumn("__copy", F.explode(F.sequence(F.lit(0), F.lit(amp - 1))))
     doc = doc.withColumn("doc_id", F.col("doc_id") * amp + F.col("__copy")).drop("__copy")
     pages = extract_geotags(webpages_from_df(doc))
