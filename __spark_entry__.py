@@ -224,6 +224,30 @@ def q_groupby_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_combine_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """@combine default geometry reduction: group members collect into a
+    Multi geometry (reference ``src/geoops/combine.jl:52-57``); checked
+    via the member count and envelope of the collected multipoint."""
+    cust = _cust_points(spark, sf_dir, keep=["c_nationkey"])
+    res = combine(groupby(cust, "c_nationkey"), aggs={}, geometry="multi")
+    geom = F.col(GEOM)
+    return res.df.select(
+        "c_nationkey",
+        (F.size(F.element_at(geom["rings"], 1)) / 2).cast("long").alias("n_mem"),
+        geom["xmin"].alias("mxmin"),
+        geom["ymax"].alias("mymax"),
+    )
+
+
+def q_sample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sample — no SQL oracle (hash-ranked), the
+    driver records the rows-only check; determinism across parallelism
+    is pytest-asserted."""
+    cust = _cust_points(spark, sf_dir, keep=[])
+    out = TR.sample(cust, 200, seed=7)
+    return out.df.select(F.col(ROW_ID).alias("c_custkey"))
+
+
 def q_transform_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     li = li.withColumn(ROW_ID, F.col("l_orderkey") * 10 + F.col("l_linenumber"))
@@ -449,6 +473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojoin_knn": q_geojoin_knn,
         "tablejoin_orders": q_tablejoin_orders,
         "groupby_combine": q_groupby_combine,
+        "combine_multi": q_combine_multi,
+        "sample_uniform": q_sample_uniform,
         "transform_revenue": q_transform_revenue,
         "vcat_union": q_vcat_union,
         "hcat": q_hcat,
@@ -580,6 +606,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_nationkey, min(c_custkey) AS first_custkey,
                    count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal,
                    round(avg({SQL_CX}), 6) AS cx, round(avg({SQL_CY}), 6) AS cy
+            FROM customer GROUP BY c_nationkey
+        """,
+        "combine_multi": f"""
+            SELECT c_nationkey, count(*) AS n_mem,
+                   min({SQL_CX}) AS mxmin, max({SQL_CY}) AS mymax
             FROM customer GROUP BY c_nationkey
         """,
         "transform_revenue": """

@@ -8,9 +8,14 @@ a chosen resolution; candidate pairs come from an equi-join on cell id
 reach the exact Arrow kernels.
 
 Cells are square, axis-aligned, side ``cell_size``; id packs the integer
-cell coordinates into one long:
+cell coordinates into one long bitwise:
 
-    cell = (floor(x/s) + 2^30) * 2^31 + (floor(y/s) + 2^30)
+    cell = (floor(x/s) & 0xFFFFFFFF) << 32 | (floor(y/s) & 0xFFFFFFFF)
+
+Bit packing never overflows (ANSI mode throws on multiplicative packing
+when degenerate extents produce astronomical cell indices). Aliasing of
+cells 2^32 apart can only create FALSE candidates — removed by the bbox
+prefilter / exact refinement downstream — never lose true matches.
 
 Everything here is ``F.sequence``/``F.transform``/``F.flatten`` — stays
 inside whole-stage codegen; no Python, no UDF. At 100 TB the cover
@@ -24,12 +29,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_OFFSET = 1 << 30
-_STRIDE = 1 << 31
+_MASK32 = (1 << 32) - 1
 
 
 def pack_cell(cx: Column, cy: Column) -> Column:
-    return (cx.cast("long") + F.lit(_OFFSET)) * F.lit(_STRIDE) + (cy.cast("long") + F.lit(_OFFSET))
+    return F.shiftleft(cx.cast("long").bitwiseAND(F.lit(_MASK32)), 32).bitwiseOR(
+        cy.cast("long").bitwiseAND(F.lit(_MASK32))
+    )
 
 
 def cell_index(coord: Column, cell_size: float) -> Column:
@@ -75,11 +81,35 @@ def cell_ring(geom: Column, cell_size: float, radius: Column | int) -> Column:
     )
 
 
-def envelope_stats(df: DataFrame, geom_col: str = "geometry") -> dict:
-    """One cheap aggregate pass over envelopes: count + extent + mean size.
+def is_envelope_exact(g: Column) -> Column:
+    """True when the geometry IS its envelope: points, and axis-aligned
+    box polygons in the canonical ring order ``st_box`` emits. For such
+    geometries every spatial predicate reduces to envelope arithmetic —
+    the fully-JVM fast path of the join (grids/tiles/points: the entire
+    web-tiling workload)."""
+    ring = F.element_at(g["rings"], 1)
+    is_box = (
+        (g["kind"] == 3)
+        & (F.size(g["rings"]) == 1)
+        & (F.size(ring) == 8)
+        & (F.element_at(ring, 1) == g["xmin"])
+        & (F.element_at(ring, 2) == g["ymin"])
+        & (F.element_at(ring, 3) == g["xmax"])
+        & (F.element_at(ring, 4) == g["ymin"])
+        & (F.element_at(ring, 5) == g["xmax"])
+        & (F.element_at(ring, 6) == g["ymax"])
+        & (F.element_at(ring, 7) == g["xmin"])
+        & (F.element_at(ring, 8) == g["ymax"])
+    )
+    return (g["kind"] == 1) | F.coalesce(is_box, F.lit(False))
 
-    Drives the resolution choice and the broadcast-vs-shuffle decision.
-    Column pruning means this reads only the envelope fields.
+
+def envelope_stats(df: DataFrame, geom_col: str = "geometry") -> dict:
+    """One cheap aggregate pass over envelopes: count + extent + mean
+    size + whether every geometry is envelope-exact (point/box).
+
+    Drives the resolution choice, broadcast-vs-shuffle, and the
+    refine-stage pruning. Column pruning keeps the scan narrow.
     """
     g = F.col(geom_col)
     row = df.agg(
@@ -90,6 +120,7 @@ def envelope_stats(df: DataFrame, geom_col: str = "geometry") -> dict:
         F.max(g["ymax"]).alias("ymax"),
         F.avg(g["xmax"] - g["xmin"]).alias("avg_w"),
         F.avg(g["ymax"] - g["ymin"]).alias("avg_h"),
+        F.min(is_envelope_exact(g).cast("int")).alias("all_exact"),
     ).collect()[0]
     return dict(row.asDict())
 

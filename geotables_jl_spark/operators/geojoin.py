@@ -198,26 +198,54 @@ def _bbox_overlap(lg: Column, rg: Column) -> Column:
     )
 
 
-def refine(pairs: DataFrame, pred: str, pts1: bool = False, pts2: bool = False) -> DataFrame:
+def _env_within(a: Column, b: Column) -> Column:
+    """envelope(a) ⊆ envelope(b)."""
+    return (
+        (a["xmin"] >= b["xmin"])
+        & (a["xmax"] <= b["xmax"])
+        & (a["ymin"] >= b["ymin"])
+        & (a["ymax"] <= b["ymax"])
+    )
+
+
+def refine(
+    pairs: DataFrame,
+    pred: str,
+    pts1: bool = False,
+    pts2: bool = False,
+    exact1: bool = False,
+    exact2: bool = False,
+) -> DataFrame:
     """Stage 2: exact predicate over candidate pairs.
 
-    Fast paths stay in the JVM: bbox prefilter always; point-vs-point
-    equality exactly; only geometrically ambiguous pairs cross into
-    Arrow. ``pts1``/``pts2`` are plan-time hints (from envelope stats)
-    that a side is all points — they prune the impossible branch so the
-    candidate-pair plan is evaluated ONCE, not once per branch:
+    Fast paths stay in the JVM; only geometrically ambiguous pairs cross
+    into Arrow. Plan-time hints from envelope stats prune whole branches
+    (so the candidate-pair plan is evaluated ONCE, not per branch):
 
-    - both sides points → pure JVM equality, no Python at all;
-    - exactly one side points → single Arrow PIP pass, no JVM branch.
+    - ``exact1``/``exact2``: the side is all envelope-exact geometries
+      (points and axis-aligned boxes — tiles, grids, web points). Then
+      * both exact → every predicate is envelope arithmetic, NO Python
+        (point-point equality is the degenerate bbox-overlap case);
+      * ``within`` needs only the RIGHT side exact (l ⊆ box ⟺
+        env(l) ⊆ box, for any left shape); ``contains`` dually only the
+        LEFT side;
+    - ``pts1``/``pts2``: all points — mixed point/polygon pairs take a
+      single Arrow PIP pass with no JVM equality branch.
     """
     lg, rg = F.col("__lgeom"), F.col("__rgeom")
     pairs = pairs.filter(_bbox_overlap(lg, rg))
 
-    if pts1 and pts2:
-        # point vs point: every predicate reduces to coordinate equality
-        return pairs.filter((lg["x"] == rg["x"]) & (lg["y"] == rg["y"])).drop(
-            "__lgeom", "__rgeom"
-        )
+    if exact1 and exact2:
+        if pred == "intersects":
+            return pairs.drop("__lgeom", "__rgeom")  # bbox overlap IS the predicate
+        if pred == "within":
+            return pairs.filter(_env_within(lg, rg)).drop("__lgeom", "__rgeom")
+        if pred == "contains":
+            return pairs.filter(_env_within(rg, lg)).drop("__lgeom", "__rgeom")
+    if pred == "within" and exact2:
+        return pairs.filter(_env_within(lg, rg)).drop("__lgeom", "__rgeom")
+    if pred == "contains" and exact1:
+        return pairs.filter(_env_within(rg, lg)).drop("__lgeom", "__rgeom")
 
     out_fields = [f for f in pairs.schema.fields if f.name not in ("__lgeom", "__rgeom")]
     out_schema = T.StructType(out_fields)
@@ -266,6 +294,29 @@ def build_aggs(
     return aggs
 
 
+def plan_salt(
+    df: DataFrame, cell_size: float, target_per_key: int = 500_000, cap: int = 64
+) -> int:
+    """Skew planner: histogram the cell key on one side and derive the
+    replication factor that splits the hottest cell to ~``target_per_key``
+    rows per shuffle key (megacity cells at web scale exceed AQE's
+    skew-split granularity because the pair explosion happens after the
+    equi-join — explicit salting is the cure, SURVEY §4). One cheap
+    count-distinct-style aggregate; returns 1 when the data is flat."""
+    hot = (
+        df.select(F.explode(cell_cover(F.col(GEOM), cell_size)).alias("__cell"))
+        .groupBy("__cell")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    if not hot:
+        return 1
+    import math
+
+    return int(min(max(1, math.ceil(hot / target_per_key)), cap))
+
+
 def geojoin(
     gtb1: GeoTable,
     gtb2: GeoTable,
@@ -274,7 +325,7 @@ def geojoin(
     pred: str = "intersects",
     on: Iterable[str] | None = None,
     k: int = 5,
-    salt: int = 1,
+    salt: int | str = 1,
     cell_size: float | None = None,
 ) -> GeoTable:
     """Spatial aggregate-on-match join (see module docstring).
@@ -282,6 +333,10 @@ def geojoin(
     pred: "intersects" (default, ``geojoin.jl:51``), "within" (left ⊆
     right — reference ``issubset``), "contains", or "knn" (k nearest right
     neighbors per left row, point geometries).
+
+    salt: explicit replication factor for skewed cells, or "auto" to
+    derive it from the big side's cell histogram (only engaged when the
+    join is a shuffle join — broadcast joins have no key skew).
     """
     if kind not in ("left", "inner"):
         raise ValueError("kind must be 'left' or 'inner'")
@@ -292,6 +347,13 @@ def geojoin(
         from geotables_jl_spark.functions.crs import reproject
 
         gtb2 = reproject(gtb2, gtb1.crs)
+
+    # affine units → absolute before aggregation (geojoin.jl:89-90)
+    if gtb1.units or gtb2.units:
+        from geotables_jl_spark.functions.units import normalize_affine
+
+        gtb1 = normalize_affine(gtb1)
+        gtb2 = normalize_affine(gtb2)
 
     df1 = gtb1.df
     df2, renames = _rename_collisions(df1, gtb2.df, on)
@@ -315,14 +377,24 @@ def geojoin(
         s2 = envelope_stats(df2)
         size = cell_size or choose_cell_size(s1, s2)
         # all-points sides (zero mean envelope extent) unlock plan pruning:
-        # no pair dedupe needed, and refine can skip impossible branches
+        # no pair dedupe needed, and refine can skip impossible branches;
+        # all-envelope-exact sides (points + boxes) keep refine 100% JVM
         pts1 = s1["n"] > 0 and not s1["avg_w"] and not s1["avg_h"]
         pts2 = s2["n"] > 0 and not s2["avg_w"] and not s2["avg_h"]
+        exact1 = bool(s1["n"] > 0 and s1["all_exact"])
+        exact2 = bool(s2["n"] > 0 and s2["all_exact"])
+        if salt == "auto":
+            # skew salting is only meaningful for shuffle joins — a
+            # broadcast side has no shuffle key to be skewed on
+            if min(s1["n"], s2["n"]) >= BROADCAST_ROWS:
+                salt = plan_salt(df1 if s1["n"] >= s2["n"] else df2, size)
+            else:
+                salt = 1
         pairs = candidate_pairs(
             df1, df2, size, on, s1["n"], s2["n"], right_cols, salt=salt,
             dedupe=not (pts1 or pts2),
         )
-        matched = refine(pairs, pred, pts1=pts1, pts2=pts2)
+        matched = refine(pairs, pred, pts1=pts1, pts2=pts2, exact1=exact1, exact2=exact2)
 
     agg_exprs = build_aggs(df2, right_cols, aggs)
     agg = matched.groupBy(_LID).agg(*agg_exprs)

@@ -72,6 +72,31 @@ def partition_product(gtb: GeoTable, *cols: str) -> GeoTable:
     return gtb._with(gtb.df.withColumn(PARTITION_COL, F.hash(pid).cast("long")))
 
 
+def partition_ball(gtb: GeoTable, radius: float) -> GeoTable:
+    """BallPartition: points within the same radius-``radius`` ball share
+    a part. Scale approximation of the reference's ball grouping: snap
+    centroids to a 2r grid (every pair in a part is within 2r·√2; exact
+    ball merging needs a sequential scan the reference does in-memory —
+    the cell form is the distributable equivalent, one column expr)."""
+    cx, cy = _centroid_xy(F.col(GEOM))
+    s = 2.0 * radius
+    pid = F.floor(cx / F.lit(s)) * F.lit(1 << 31) + F.floor(cy / F.lit(s))
+    return gtb._with(gtb.df.withColumn(PARTITION_COL, pid.cast("long")))
+
+
+def partition_hierarchical(gtb: GeoTable, coarse: float, fine: float) -> GeoTable:
+    """HierarchicalPartition: coarse block id + nested fine block id —
+    two-level tiling (coarse id in the high bits). Matches the
+    reference's nested-partition composition as pure column math."""
+    cx, cy = _centroid_xy(F.col(GEOM))
+    cid = F.floor(cx / F.lit(coarse)) * F.lit(1 << 15) + F.floor(cy / F.lit(coarse))
+    fid = F.floor((cx % F.lit(coarse)) / F.lit(fine)) * F.lit(1 << 7) + F.floor(
+        (cy % F.lit(coarse)) / F.lit(fine)
+    )
+    pid = cid * F.lit(1 << 16) + fid
+    return gtb._with(gtb.df.withColumn(PARTITION_COL, pid.cast("long")))
+
+
 def sample_uniform(gtb: GeoTable, n: int, seed: int = 42) -> GeoTable:
     """UniformSampling(n) without replacement — deterministic: order by
     hash(row_id, seed), take n (TABLESAMPLE-style reservoir is not

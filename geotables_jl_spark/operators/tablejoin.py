@@ -35,6 +35,11 @@ def tablejoin(
     if not on:
         raise ValueError("tablejoin requires on= columns")
 
+    if gtb.units:
+        from geotables_jl_spark.functions.units import normalize_affine
+
+        gtb = normalize_affine(gtb)
+
     df1 = gtb.df
     df2 = table
     if ROW_ID not in df2.columns:
