@@ -63,9 +63,11 @@ def punct_ratio(text: Column) -> Column:
 
 
 def mean_token_len(text: Column) -> Column:
-    toks = tokens(text)
+    # sum of token lengths == count of non-whitespace chars: one compiled
+    # regex pass instead of an interpreted per-token fold (the fold ran at
+    # ~100k lambda evals/s and dominated the text-stats stage)
     n = token_count(text)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    total = F.length(F.regexp_replace(text, r"\s", ""))
     return F.when(n == 0, F.lit(0.0)).otherwise(total.cast("double") / n.cast("double"))
 
 
@@ -120,6 +122,44 @@ def fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * F.lit(FP_BASE) + F.ascii(c)) % F.lit(FP_MOD),
     )
+
+
+def fingerprint_fast(text: Column) -> Column:
+    """Arrow-vectorized twin of :func:`fingerprint` — identical values.
+
+    The column-expression version folds an interpreted lambda per
+    character (~100k evals/s); this one Horner-evaluates the whole batch
+    in numpy: rows are LEFT-padded with zeros into one codepoint matrix
+    (leading zeros don't change the polynomial), then one vectorized
+    ``acc = (acc*31 + col) % p`` pass per character position. Exact
+    integer math — bit-identical to the SQL form and the DuckDB oracle.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _fp(s):  # no annotations: `from __future__ import annotations` stringizes them
+        vals = s.fillna("").to_numpy()
+        n = len(vals)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        arrs = [np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) for t in vals]
+        L = max((len(a) for a in arrs), default=0)
+        if L == 0:
+            return pd.Series(np.zeros(n, dtype=np.int64))
+        M = np.zeros((n, L), dtype=np.uint64)
+        for i, a in enumerate(arrs):
+            if len(a):
+                M[i, L - len(a):] = a
+        acc = np.zeros(n, dtype=np.uint64)
+        base = np.uint64(FP_BASE)
+        mod = np.uint64(FP_MOD)
+        for j in range(L):
+            acc = (acc * base + M[:, j]) % mod  # acc*31+c < 2^35: no overflow
+        return pd.Series(acc.astype(np.int64))
+
+    return _fp(text)
 
 
 def shingles(text: Column, n: int = 3) -> Column:

@@ -28,7 +28,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from geotables_jl_spark.functions.textstats import fingerprint, shingles
+from geotables_jl_spark.functions.textstats import fingerprint, fingerprint_fast, shingles
 
 
 # ---------------------------------------------------------------------------
@@ -359,6 +359,8 @@ def embedding_neardup_pairs(
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).withColumn(
         "__n", _norm(F.col("__v"))
     )
+    if not use_lsh:
+        return _blocked_cosine_pairs(base, threshold)
     if use_lsh:
         import numpy as np
 
@@ -395,3 +397,75 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def _blocked_cosine_pairs(base: DataFrame, threshold: float, n_blocks: int = 8) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via block-matrix products.
+
+    The interpreted ``F.aggregate`` dot product evaluated ~100k lambda
+    steps/s — the O(n²·d) cross join was the slowest query in the bench.
+    Instead: vectors go to deterministic blocks (``id % B``); every block
+    PAIR (i ≤ j) becomes one group whose members carry a side tag; one
+    ``applyInPandas`` per group runs a single numpy matmul (BLAS) over
+    the two sides. Replication factor is B per side — tune B so a block
+    pair fits executor memory; beyond that, the sign-LSH path is the
+    scale answer.
+    """
+    from pyspark.sql import types as T
+    import numpy as np
+    import pandas as pd
+
+    b = F.pmod(F.col("__id"), F.lit(n_blocks)).cast("int")
+    tagged = base.withColumn("__blk", b)
+    # each vector joins every block pair that contains its block
+    pair_keys = F.array(
+        *[F.struct(F.lit(o).alias("other")) for o in range(n_blocks)]
+    )
+    expl = tagged.select(
+        "__id", "__v", "__n", "__blk", F.explode(pair_keys).alias("__o")
+    ).select(
+        "__id", "__v", "__n", "__blk",
+        F.least(F.col("__blk"), F.col("__o.other")).alias("__bi"),
+        F.greatest(F.col("__blk"), F.col("__o.other")).alias("__bj"),
+    ).dropDuplicates(["__id", "__bi", "__bj"])
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def _score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        left = pdf[pdf["__blk"] == bi]
+        right = pdf[pdf["__blk"] == bj]
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        A = np.stack(left["__v"].to_numpy()).astype(np.float64)
+        Bm = np.stack(right["__v"].to_numpy()).astype(np.float64)
+        na = left["__n"].to_numpy()
+        nb = right["__n"].to_numpy()
+        ia = left["__id"].to_numpy()
+        ib = right["__id"].to_numpy()
+        cos = (A @ Bm.T) / np.outer(na, nb)
+        ii, jj = np.where(cos >= thr)
+        id_a, id_b = ia[ii], ib[jj]
+        if bi == bj:
+            # same-block matrix contains both orders: keep one
+            keep = id_a < id_b
+            id_a, id_b, vals = id_a[keep], id_b[keep], cos[ii, jj][keep]
+        else:
+            # cross-block pair appears exactly once: canonicalize order
+            vals = cos[ii, jj]
+            lo = np.minimum(id_a, id_b)
+            hi = np.maximum(id_a, id_b)
+            id_a, id_b = lo, hi
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": vals})
+
+    pairs = expl.groupBy("__bi", "__bj").applyInPandas(_score, schema=out_schema)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
