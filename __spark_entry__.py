@@ -441,6 +441,58 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.join(frames, on="doc_id", how="left")
 
 
+def q_parent_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parent(view): a filtered view scattered back onto the full parent
+    domain, filling missing (reference ``src/abstractgeotable.jl:78-104``,
+    tested ``test/basics.jl:29-42``)."""
+    cust = _cust_points(spark, sf_dir, keep=["c_acctbal"])
+    view = TR.filter_rows(cust, F.col("c_acctbal") > 5000.0)
+    out = view.scatter_onto(cust)
+    return out.df.select(F.col(ROW_ID).alias("c_custkey"), F.col("c_acctbal").alias("bal"))
+
+
+def q_dropextrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DropExtrema feature transform (reference ``test/feature.jl:23``):
+    keep the interquartile band of c_acctbal (exact percentile here for
+    oracle parity; the default is a mergeable one-pass sketch)."""
+    cust = _cust_points(spark, sf_dir, keep=["c_acctbal"])
+    g = TR.dropextrema(cust, "c_acctbal", 0.25, 0.75, exact=True)
+    return g.df.select(F.col(ROW_ID).alias("c_custkey"), F.col("c_acctbal").alias("bal"))
+
+
+def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinMax scaler (reference ``test/feature.jl:30``): window-free
+    global min/max agg folded back as literals — bit-exact vs SQL."""
+    cust = _cust_points(spark, sf_dir, keep=["c_acctbal"])
+    g = TR.minmax(cust, "c_acctbal")
+    return g.df.select(F.col(ROW_ID).alias("c_custkey"), F.col("c_acctbal").alias("scaled"))
+
+
+def q_tablejoin_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tablejoin with the reference's custom aggregation surface
+    (``test/operations.jl:36,562``: median/std/last) — order-dependent
+    ``last`` is shuffle-deterministic via max_by on the right row id."""
+    cust = _cust_points(spark, sf_dir, keep=[])
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .withColumnRenamed("o_custkey", "c_custkey")
+        .withColumn(ROW_ID, F.col("o_orderkey"))
+        .select(ROW_ID, "c_custkey", "o_totalprice", "o_orderpriority")
+    )
+    g = GeoTable(df=cust.df.withColumn("c_custkey", F.col(ROW_ID)), crs=cust.crs)
+    res = tablejoin(
+        g,
+        orders,
+        on=["c_custkey"],
+        aggs={"o_totalprice": "median", "o_orderpriority": "last"},
+    )
+    return res.df.select(
+        "c_custkey",
+        F.round(F.col("o_totalprice"), 4).alias("median_price"),
+        F.col("o_orderpriority").alias("last_priority"),
+    )
+
+
 def q_feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _cust_points(spark, sf_dir, keep=["c_acctbal", "c_mktsegment"])
     g = TR.filter_rows(cust, F.col("c_acctbal") > 0.0)
@@ -496,6 +548,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webpages_identity": q_webpages_identity,
         "multimodal_meta": q_multimodal_meta,
         "feature_zscore": q_feature_zscore,
+        "parent_scatter": q_parent_scatter,
+        "dropextrema": q_dropextrema,
+        "minmax_scale": q_minmax_scale,
+        "tablejoin_aggs": q_tablejoin_aggs,
     }
 
 
@@ -740,5 +796,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS BIGINT) AS seg_building,
                    CAST(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS BIGINT) AS seg_machinery
             FROM f, s
+        """,
+        "parent_scatter": """
+            SELECT c.c_custkey, v.c_acctbal AS bal
+            FROM customer c
+            LEFT JOIN (SELECT c_custkey, c_acctbal FROM customer
+                       WHERE c_acctbal > 5000.0) v
+              ON c.c_custkey = v.c_custkey
+        """,
+        "dropextrema": """
+            WITH q AS (SELECT quantile_cont(c_acctbal, 0.25) AS lo,
+                              quantile_cont(c_acctbal, 0.75) AS hi FROM customer)
+            SELECT c_custkey, c_acctbal AS bal FROM customer, q
+            WHERE c_acctbal >= q.lo AND c_acctbal <= q.hi
+        """,
+        "minmax_scale": """
+            WITH s AS (SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM customer)
+            SELECT c_custkey, (c_acctbal - s.lo) / (s.hi - s.lo) AS scaled
+            FROM customer, s
+        """,
+        "tablejoin_aggs": """
+            SELECT c.c_custkey,
+                   round(median(o.o_totalprice), 4) AS median_price,
+                   max_by(o.o_orderpriority, o.o_orderkey) AS last_priority
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
         """,
     }

@@ -82,13 +82,23 @@ def dropnan(gtb: GeoTable, *cols: str) -> GeoTable:
     return gtb._with(df)
 
 
-def dropextrema(gtb: GeoTable, col: str, low: float = 0.25, high: float = 0.75) -> GeoTable:
+def dropextrema(
+    gtb: GeoTable, col: str, low: float = 0.25, high: float = 0.75, exact: bool = False
+) -> GeoTable:
     """DropExtrema: keep rows inside the [low, high] quantile band.
-    approx_percentile = one pass, mergeable sketch (scale-correct)."""
-    q = gtb.df.agg(
-        F.percentile_approx(col, F.lit(low)).alias("lo"),
-        F.percentile_approx(col, F.lit(high)).alias("hi"),
-    ).collect()[0]
+    Default approx_percentile = one pass, mergeable sketch
+    (scale-correct); ``exact=True`` uses the exact interpolated
+    percentile (sort-based — small/medium tables, oracle parity)."""
+    if exact:
+        q = gtb.df.agg(
+            F.expr(f"percentile(`{col}`, {float(low)})").alias("lo"),
+            F.expr(f"percentile(`{col}`, {float(high)})").alias("hi"),
+        ).collect()[0]
+    else:
+        q = gtb.df.agg(
+            F.percentile_approx(col, F.lit(low)).alias("lo"),
+            F.percentile_approx(col, F.lit(high)).alias("hi"),
+        ).collect()[0]
     return gtb._with(gtb.df.filter((F.col(col) >= q["lo"]) & (F.col(col) <= q["hi"])))
 
 
