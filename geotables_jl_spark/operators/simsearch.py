@@ -1,8 +1,9 @@
 """Similarity search over embedding columns (array<float>).
 
-- ``cosine_topk``: brute-force exact top-k — broadcast the (small) query
-  set against the corpus, JVM dot products, per-query window top-k. The
-  correctness baseline; cost O(|Q| × n) with no Python.
+- ``cosine_topk``: brute-force exact top-k — the small query matrix
+  ships in the task closure; corpus partitions score Arrow batches with
+  one BLAS matmul each and emit tie-safe local top-k, finished by a tiny
+  exact window. The correctness baseline; cost O(|Q| × n × d / cores).
 - ``ann_lsh_topk``: the scale path — sign-LSH (seeded hyperplanes)
   bucket join with multi-probe (hamming-1 probes), exact rerank within
   candidates. Sub-linear candidate sets at 100 TB; recall tunable via
@@ -45,24 +46,75 @@ def cosine_topk(
     exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: one row per (query, rank≤k) with neighbor id +
-    cosine. Queries are broadcast (ANN queries are small relative to the
-    corpus); ties broken by neighbor id for determinism."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-    ).withColumn("__cn", norm(F.col("__cv")))
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("__qv"),
-    ).withColumn("__qn", norm(F.col("__qv")))
-    scored = c.join(F.broadcast(q)).withColumn(
-        "cosine", dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))
-    )
-    if exclude_self:
-        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    cosine; ties broken by neighbor id for determinism.
+
+    The query matrix is small by contract (ANN queries ≪ corpus): it is
+    collected once and shipped in the task closure; each corpus partition
+    then scores its Arrow batches with ONE numpy matmul per batch and
+    keeps a tie-safe local top-k per query (everything ≥ the k-th score
+    survives, so global ties still resolve by id). The final exact rank
+    is a window over ≤ partitions × (k + ties) × |Q| rows — the corpus
+    never shuffles, scoring is BLAS, and cost is O(n·|Q|·d / cores)."""
+    import numpy as np
+
+    qp = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
+    ).toPandas()
+    qids = qp["query_id"].to_numpy()
+    if len(qids) == 0:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, cosine double"
+        )
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qp["__qv"]])
+    qn = np.linalg.norm(Q, axis=1)
+    kk = int(k)
+    excl = bool(exclude_self)
+
+    def _part(batches):
+        import pandas as pd
+
+        cand_ids: list = []
+        cand_cos: list = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__cv"]])
+            cn = np.linalg.norm(C, axis=1)
+            S = (C @ Q.T) / np.outer(cn, qn)  # b × m
+            ids = pdf["neighbor_id"].to_numpy()
+            if excl:
+                S = np.where(ids[:, None] == qids[None, :], -np.inf, S)
+            b = S.shape[0]
+            take = min(kk, b)
+            top = np.argpartition(-S, take - 1, axis=0)[:take]  # take × m
+            cand_ids.append(ids[top])
+            cand_cos.append(np.take_along_axis(S, top, axis=0))
+        if not cand_ids:
+            return
+        ids_m = np.concatenate(cand_ids, axis=0)  # (sum takes) × m
+        cos_m = np.concatenate(cand_cos, axis=0)
+        n_c, m = cos_m.shape
+        take = min(kk, n_c)
+        # keep everything tied with the k-th score so global id-tiebreaks
+        # stay exact
+        part = np.argpartition(-cos_m, take - 1, axis=0)
+        kth = cos_m[part[take - 1, :], np.arange(m)]
+        keep = cos_m >= kth[None, :]
+        rows_q, rows_i = np.where(keep.T)
+        yield pd.DataFrame(
+            {
+                "query_id": qids[rows_q],
+                "neighbor_id": ids_m[rows_i, rows_q],
+                "cosine": cos_m[rows_i, rows_q],
+            }
+        )
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    local = c.mapInPandas(_part, schema="query_id long, neighbor_id long, cosine double")
+    local = local.filter(F.col("cosine") != F.lit(float("-inf")))
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
     )
