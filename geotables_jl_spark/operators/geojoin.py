@@ -574,9 +574,13 @@ def knn_pairs(
     n1 = max(s1["n"], 1)
     n2 = max(s2["n"], 1)
     if cell_size is None:
-        # expect ~k candidates inside the 3x3 block of the first round
-        cell_size = extent * math.sqrt(max(float(k), 1.0) / float(n2))
-        cell_size = min(max(cell_size, extent / 4096.0), extent)
+        # expect ~k candidates inside the whole 3x3 block of round 1 (NOT
+        # per cell — that would mean 9k candidates per left row, and the
+        # candidate stream is the shuffle: at 20M left rows the difference
+        # is 10s of GB of spill). Under-filled blocks just take a second
+        # round at radius 2 (~2.8k expected), still O(k) per row.
+        cell_size = extent * math.sqrt(max(float(k), 1.0) / float(n2)) / 3.0
+        cell_size = min(max(cell_size, extent / 65536.0), extent)
 
     right_base = df2.select(
         F.col(ROW_ID).alias(_RID),

@@ -67,10 +67,15 @@ def run_geojoin(spark, input_dir: str) -> dict:
 
 
 def run_knn(spark, input_dir: str, sf_dir: str) -> dict:
+    """kNN of every page against a 100k-point amenity-style directory
+    (supplier ×100 with deterministic jitter), k=10 — sized so measured
+    compute dominates the fixed per-job costs (stats scans, round
+    scheduling) that otherwise cap the 8→32 speedup of a 2-second job."""
     pages = _pages(spark, input_dir)
     pages = GeoTable(df=pages.df.select("row_id", "geometry"), crs=pages.crs)
     supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    k = F.col("s_suppkey")
+    supp = supp.withColumn("__copy", F.explode(F.sequence(F.lit(0), F.lit(99))))
+    k = F.col("s_suppkey") * 100 + F.col("__copy")
     supp = (
         supp.withColumn("sx", ((k * 7919) % 3600) / 10.0 - 180.0 + 0.05)
         .withColumn("sy", ((k * 104729) % 1700) / 10.0 - 85.0 + 0.05)
@@ -80,7 +85,7 @@ def run_knn(spark, input_dir: str, sf_dir: str) -> dict:
     supp = georef(supp, coords=["sx", "sy"], crs="LatLon")
     n_rows = pages.df.count()
     t0 = time.perf_counter()
-    knn_join(pages, supp, k=3).write.format("noop").mode("overwrite").save()
+    knn_join(pages, supp, k=10).write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
     return {"job": "geojoin_knn", "rows": n_rows, "sec": round(dt, 3)}
 
