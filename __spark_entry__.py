@@ -423,6 +423,17 @@ def q_webpages_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_webpages_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """html binary → extracted text (north-star per-row invariant: the
+    extracted text is byte-identical to the `text` column per url,
+    checked value-for-value against the oracle)."""
+    from geotables_jl_spark.sources.webpages import extract_text
+
+    pages = webpages_from_documents(spark, sf_dir)
+    out = extract_text(pages)
+    return out.select("url", F.col("text_extracted").alias("text_ex"))
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = webpages_from_documents(spark, sf_dir)
     meta = attach_media_meta(pages, "html", "image").select(
@@ -548,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webpages_identity": q_webpages_identity,
         "multimodal_meta": q_multimodal_meta,
         "feature_zscore": q_feature_zscore,
+        "webpages_extract_text": q_webpages_extract_text,
         "parent_scatter": q_parent_scatter,
         "dropextrema": q_dropextrema,
         "minmax_scale": q_minmax_scale,
@@ -796,6 +808,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS BIGINT) AS seg_building,
                    CAST(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS BIGINT) AS seg_machinery
             FROM f, s
+        """,
+        "webpages_extract_text": f"""
+            SELECT url, text AS text_ex FROM ({_SQL_PAGES})
         """,
         "parent_scatter": """
             SELECT c.c_custkey, v.c_acctbal AS bal

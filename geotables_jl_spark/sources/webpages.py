@@ -109,6 +109,19 @@ def extract_geotags(pages: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("lon", F.when(ilon != "", ilon.cast("long") / F.lit(10000.0)))
 
 
+def extract_text(pages: DataFrame, html_col: str = "html", out_col: str = "text_extracted") -> DataFrame:
+    """html binary → extracted text, deterministically.
+
+    UTF-8 decode + tag strip as compiled JVM expressions — no Python, no
+    allocation beyond the output string; identical bytes at any
+    parallelism level (the north star's per-row invariant: byte-identical
+    extracted text per url). Real-world HTML needs entity decoding and
+    script/style elision — the tag-strip stays the cheap JVM prefilter
+    and those become Arrow-batched kernels over the residue."""
+    raw = F.decode(F.col(html_col), "UTF-8")
+    return pages.withColumn(out_col, F.regexp_replace(raw, r"<[^>]+>", ""))
+
+
 def geotagged_webpages(spark: SparkSession, sf_dir: str) -> GeoTable:
     """The north-star construction: web pages → geotag extraction →
     ``georef`` on the (lat, lon) columns (CRS heuristic picks LatLon,

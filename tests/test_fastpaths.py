@@ -76,3 +76,20 @@ def test_knn_multi_round_expansion(spark):
         for rank, (dist, pid) in enumerate(d, 1):
             assert mine[rank - 1][1] == pid
             assert mine[rank - 1][2] == pytest.approx(dist, abs=1e-9)
+
+
+def test_extract_text_byte_identical_across_parallelism(spark):
+    # north-star per-row invariant: text extracted from html is
+    # byte-identical to the text column per url, at any partitioning
+    from geotables_jl_spark.sources.webpages import extract_text, webpages_from_documents
+
+    pages = webpages_from_documents(spark, "/root/testdata/sf0.001")
+    for parts in (2, 16):
+        out = extract_text(pages.repartition(parts))
+        bad = out.filter(F.col("text_extracted") != F.col("text")).count()
+        assert bad == 0
+        rows = {r["url"]: r["text_extracted"] for r in out.select("url", "text_extracted").collect()}
+        if parts == 2:
+            first = rows
+        else:
+            assert rows == first
