@@ -393,8 +393,15 @@ def geojoin(
     k: int = 5,
     salt: int | str = 1,
     cell_size: float | None = None,
+    stats1: dict | None = None,
+    stats2: dict | None = None,
 ) -> GeoTable:
     """Spatial aggregate-on-match join (see module docstring).
+
+    stats1/stats2: precomputed ``envelope_stats`` dicts per side. At
+    10^12 rows the planning scans should come from table-level statistics
+    (Iceberg column min/max + row counts) instead of an aggregate pass —
+    pass them here and the join plans without touching the data.
 
     pred: "intersects" (default, ``geojoin.jl:51``), "within" (left ⊆
     right — reference ``issubset``), "contains", or "knn" (k nearest right
@@ -437,10 +444,11 @@ def geojoin(
         aggs = mapped
 
     if pred == "knn":
-        matched = knn_pairs(df1, df2, k=k, on=on, extra=right_cols, cell_size=cell_size)
+        matched = knn_pairs(df1, df2, k=k, on=on, extra=right_cols, cell_size=cell_size,
+                            stats1=stats1, stats2=stats2)
     else:
-        s1 = envelope_stats(df1)
-        s2 = envelope_stats(df2)
+        s1 = stats1 or envelope_stats(df1)
+        s2 = stats2 or envelope_stats(df2)
         size = cell_size or choose_cell_size(s1, s2)
         # all-points sides (zero mean envelope extent) unlock plan pruning:
         # no pair dedupe needed, and refine can skip impossible branches;
@@ -555,6 +563,8 @@ def knn_pairs(
     extra: list[str] | None = None,
     cell_size: float | None = None,
     max_rounds: int = 12,
+    stats1: dict | None = None,
+    stats2: dict | None = None,
 ) -> DataFrame:
     """(lid, rid, __dist, __rank) pairs: k nearest right points per left
     point. Iterative cell-ring expansion — each round only re-processes
@@ -564,8 +574,8 @@ def knn_pairs(
     extent."""
     on = list(on or [])
     extra = list(extra or [])
-    s2 = envelope_stats(df2)
-    s1 = envelope_stats(df1)
+    s2 = stats2 or envelope_stats(df2)
+    s1 = stats1 or envelope_stats(df1)
     ext_w = max(s1["xmax"], s2["xmax"]) - min(s1["xmin"], s2["xmin"])
     ext_h = max(s1["ymax"], s2["ymax"]) - min(s1["ymin"], s2["ymin"])
     extent = max(ext_w, ext_h, 1e-9)
