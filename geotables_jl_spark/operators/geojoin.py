@@ -522,37 +522,64 @@ def _knn_round(
     from ONE aggregation (``array_sort(collect_list(...))``): no window
     sort over the candidate stream, no second groupBy — candidate lists
     are tiny (cell size targets ~k per block) so partial aggregation
-    trims the shuffle to one row per left id."""
-    # distinct per-side column names + unqualified refs: round r+1's left
-    # lineage contains right_base (via the anti-join), so dataset-qualified
-    # references would trip Spark's ambiguous-self-join detection
+    trims the shuffle to one row per left id.
+
+    The candidate join is a LEFT join: lids with an empty block still
+    produce one aggregate row (empty list). That makes the round's
+    aggregate a complete accounting of ``remaining`` — the next round's
+    input derives from THIS persisted aggregate with a map-only filter,
+    eliminating the per-round anti-join (a shuffle of both full sides)
+    and the lineage recompute that dominated kNN wall time at 40M rows."""
+    # distinct per-side column names + unqualified refs: the left lineage
+    # may contain right_base, and dataset-qualified references would trip
+    # Spark's ambiguous-self-join detection
     if explode_right:
         r = right_base.withColumn("__rjc", F.explode(cell_block(F.col("__rx"), F.col("__ry"), cell_size, radius)))
-        l = remaining.withColumnRenamed("__lcell", "__ljc")
+        l = remaining.withColumn("__ljc", F.col("__lcell"))
     else:
         l = remaining.withColumn(
             "__ljc", F.explode(cell_block(F.col("__lx"), F.col("__ly"), cell_size, radius))
-        ).drop("__lcell")
+        )
         r = right_base.withColumnRenamed("__rcell", "__rjc")
     if broadcast_right:
         r = F.broadcast(r)
     cond = F.col("__ljc") == F.col("__rjc")
     for c in on:
         cond = cond & F.col(f"__lon_{c}").eqNullSafe(F.col(f"__ron_{c}"))
-    cand = l.join(r, cond, "inner").select(
+    cand = l.join(r, cond, "left").select(
         F.col(_LID),
-        F.struct(
-            F.hypot(F.col("__lx") - F.col("__rx"), F.col("__ly") - F.col("__ry")).alias("__dist"),
-            F.col(_RID),
-            *[F.col(c) for c in extra],
+        F.col("__lx"),
+        F.col("__ly"),
+        *[F.col(f"__lon_{c}") for c in on],
+        F.when(
+            F.col(_RID).isNotNull(),
+            F.struct(
+                F.hypot(F.col("__lx") - F.col("__rx"), F.col("__ly") - F.col("__ry")).alias("__dist"),
+                F.col(_RID),
+                *[F.col(c) for c in extra],
+            ),
         ).alias("__c"),
     )
-    agg = cand.groupBy(_LID).agg(F.array_sort(F.collect_list("__c")).alias("__all"))
+    agg = cand.groupBy(_LID).agg(
+        F.array_sort(F.collect_list("__c")).alias("__all"),  # collect_list skips NULLs
+        F.first("__lx").alias("__lx"),
+        F.first("__ly").alias("__ly"),
+        *[F.first(f"__lon_{c}").alias(f"__lon_{c}") for c in on],
+    )
     return agg.select(
         _LID,
+        "__lx",
+        "__ly",
+        *[f"__lon_{c}" for c in on],
         F.size("__all").alias("__cnt"),
         F.slice("__all", 1, k).alias("__top"),
-    ).withColumn("__kth", F.element_at("__top", F.least(F.lit(k), F.col("__cnt")))["__dist"])
+    ).withColumn(
+        "__kth",
+        F.when(
+            F.col("__cnt") > 0,
+            F.element_at("__top", F.least(F.lit(k), F.col("__cnt")))["__dist"],
+        ),
+    )
 
 
 def knn_pairs(
@@ -619,10 +646,8 @@ def knn_pairs(
         ).persist()
         guarantee = float(radius) * cell_size
         block_covers_extent = (2 * radius + 1) * cell_size >= 2.0 * extent
-        if block_covers_extent:
-            certified = agg
-        else:
-            certified = agg.filter((F.col("__cnt") >= k) & (F.col("__kth") <= F.lit(guarantee)))
+        cert_cond = (F.col("__cnt") >= k) & (F.col("__kth") <= F.lit(guarantee))
+        certified = agg if block_covers_extent else agg.filter(cert_cond)
         done_parts.append(
             certified.select(_LID, F.posexplode("__top").alias("__pos", "__c")).select(
                 _LID,
@@ -632,9 +657,25 @@ def knn_pairs(
                 *[F.col("__c")[c].alias(c) for c in extra],
             )
         )
-        # certified ids scale with the LEFT side — never broadcast them
-        remaining = remaining.join(certified.select(_LID), on=_LID, how="left_anti")
-        if block_covers_extent or remaining.isEmpty():
+        if block_covers_extent:
+            break
+        # the LEFT candidate join makes agg a complete accounting of
+        # `remaining` (empty blocks included): the next round's input is a
+        # map-only filter of the PERSISTED aggregate — no anti-join
+        # shuffle, no lineage recompute (cnt=0 rows: false AND null is
+        # false in SQL, so ~cert_cond keeps them)
+        from geotables_jl_spark.geom.cells import cell_index, pack_cell
+
+        remaining = agg.filter(~cert_cond).select(
+            _LID,
+            "__lx",
+            "__ly",
+            *[f"__lon_{c}" for c in on],
+            pack_cell(cell_index(F.col("__lx"), cell_size), cell_index(F.col("__ly"), cell_size)).alias(
+                "__lcell"
+            ),
+        )
+        if remaining.isEmpty():
             break
         radius *= 2
 
