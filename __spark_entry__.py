@@ -285,13 +285,15 @@ def q_partition_block(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sort_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotables_jl_spark.operators.ranking import global_rank
+
     cust = _cust_points(spark, sf_dir, keep=[])
     geom = F.col(GEOM)
     proj = geom["x"] * 1.0 + geom["y"] * 0.5
-    w = W.orderBy(proj.asc(), F.col(ROW_ID).asc())
-    return cust.df.select(
-        F.col(ROW_ID).alias("c_custkey"), F.row_number().over(w).cast("long").alias("rnk")
-    )
+    # distributed global rank (range-bucket, operators/ranking.py) — NOT
+    # an unpartitioned window (one-task scale killer)
+    ranked, _ = global_rank(cust.df, proj, out="rnk", tiebreak=[F.col(ROW_ID).asc()])
+    return ranked.select(F.col(ROW_ID).alias("c_custkey"), F.col("rnk"))
 
 
 def q_grid_subset(spark: SparkSession, sf_dir: str) -> DataFrame:

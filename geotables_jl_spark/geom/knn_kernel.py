@@ -1,0 +1,223 @@
+"""Vectorized kNN scoring kernel (Arrow batches + numpy) for the
+broadcast-right map round of ``knn_pairs``.
+
+Why Python here at all (the repo's rule is JVM-first): the per-row
+"score ~65 candidates, sort, slice k" step has no codegen-friendly Spark
+expression — higher-order functions (``transform``/``array_sort``) are
+CodegenFallback and measured 6.7–92 s per 4M rows on local[16]
+(``tools/profile_knn_micro.py``), 10–25× the budget. This kernel does
+the same work fully vectorized: the 10^12-row left stream ships ONLY
+(lid, lx, ly, cell) — 32 bytes/row — through Arrow, all candidate data
+lives in a numpy broadcast on each worker, and every batch is processed
+with whole-batch matrix ops (padded neighborhood gather, argpartition
+top-k with an exact tie fallback), never a per-row or per-group Python
+loop. Results go back as Arrow LIST columns (one row per left row, built
+zero-copy from flat arrays + offsets) so the JVM fans out pairs with a
+codegen ``posexplode`` instead of Arrow shipping k× duplicated rows.
+
+Determinism: right points are sorted by rid once; the offset-exploded
+neighbor index preserves that order inside every neighborhood, so ties
+on distance resolve by ascending rid — the same (dist, rid) order the
+JVM rounds and the DuckDB oracle use. Distances are
+``sqrt(dx*dx + dy*dy)`` (each op IEEE correctly-rounded) so all three
+engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MASK32 = np.int64((1 << 32) - 1)
+
+
+def pack_cells_np(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+    """Bit-identical twin of ``geom.cells.pack_cell`` (JVM): mask the
+    int64 cell coords to 32 bits, pack into one long. numpy int64
+    arithmetic wraps two's-complement exactly like a Java long."""
+    with np.errstate(over="ignore"):
+        return ((cx & _MASK32) << np.int64(32)) | (cy & _MASK32)
+
+
+class RightIndex:
+    """Right-side points, rid-sorted, shipped to workers via
+    ``sc.broadcast`` as plain numpy (~32 B/point). Workers derive the
+    per-radius neighbor index lazily (``NeighborIndex``)."""
+
+    def __init__(self, rid: np.ndarray, rx: np.ndarray, ry: np.ndarray, cell_size: float):
+        order = np.argsort(rid, kind="stable")
+        self.cell_size = float(cell_size)
+        self.rid = np.ascontiguousarray(rid[order])
+        self.rx = np.ascontiguousarray(rx[order])
+        self.ry = np.ascontiguousarray(ry[order])
+
+
+class NeighborIndex:
+    """cell → slice of point indices whose (2r+1)² block contains the
+    cell. Built VECTORIZED (offset explode + lexsort), no per-cell
+    Python: n2·(2r+1)² int64 entries, ~0.1 s for 100k points at r=1."""
+
+    def __init__(self, base: RightIndex, radius: int):
+        s = base.cell_size
+        cx = np.floor(base.rx / s).astype(np.int64)
+        cy = np.floor(base.ry / s).astype(np.int64)
+        r = int(radius)
+        w = 2 * r + 1
+        offs = np.arange(-r, r + 1, dtype=np.int64)
+        # all (cx+i, cy+j) combos, point-major; point idx is rid-ordered,
+        # and the stable lexsort keeps that order inside each target cell
+        tx = np.repeat((cx[:, None] + offs[None, :]).reshape(-1), w)
+        ty = np.tile((cy[:, None] + offs[None, :]).reshape(len(cy), w), (1, w)).reshape(-1)
+        tgt = pack_cells_np(tx, ty)
+        idx = np.repeat(np.arange(len(cx), dtype=np.int64), w * w)
+        o = np.lexsort((idx, tgt))
+        # int32 point indices: halves gather traffic (the kernel is memory
+        # -bandwidth-bound under full-machine concurrency; chunk_budget is
+        # sized so the per-chunk matrices stay L3-resident — measured 2.5×
+        # on 16 concurrent workers vs a 4M budget)
+        self.point_idx = idx[o].astype(np.int32)
+        tgt = tgt[o]
+        self.keys, self.starts = np.unique(tgt, return_index=True)
+        self.ends = np.append(self.starts[1:], len(tgt))
+
+    def lookup(self, cells: np.ndarray):
+        """(starts, counts) per query cell; count 0 when no right point
+        is within the block."""
+        if not len(self.keys):
+            z = np.zeros(len(cells), dtype=np.int64)
+            return z, z
+        pos = np.searchsorted(self.keys, cells)
+        pos_c = np.minimum(pos, len(self.keys) - 1)
+        ok = self.keys[pos_c] == cells
+        starts = np.where(ok, self.starts[pos_c], 0)
+        counts = np.where(ok, self.ends[pos_c] - self.starts[pos_c], 0)
+        return starts.astype(np.int64), counts.astype(np.int64)
+
+
+# worker-global neighbor-index memo (workers are reused across batches)
+_NI_CACHE: dict = {}
+
+
+def _neighbor_index(base: RightIndex, radius: int) -> NeighborIndex:
+    key = (id(base), int(radius))
+    ni = _NI_CACHE.get(key)
+    if ni is None:
+        _NI_CACHE.clear()  # one (base, radius) live at a time per worker
+        ni = _NI_CACHE[key] = NeighborIndex(base, radius)
+    return ni
+
+
+def _topk_tie_exact(d: np.ndarray, kk: int):
+    """Row-wise top-kk of the padded distance matrix ``d`` ordered by
+    (dist, column position) — column position IS rid order. argpartition
+    (O(m)) + tiny per-row sort; rows whose k-th distance ties with an
+    excluded element fall back to a full stable argsort (exact, rare —
+    needs duplicate distances exactly at the boundary)."""
+    b, m = d.shape
+    if kk >= m:
+        top = np.argsort(d, axis=1, kind="stable")[:, :kk]
+        return top, np.take_along_axis(d, top, axis=1)
+    part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+    # order the selected by (dist, pos): pos-sort first, stable dist-sort
+    o1 = np.argsort(part, axis=1)
+    part = np.take_along_axis(part, o1, axis=1)
+    dp = np.take_along_axis(d, part, axis=1)
+    o2 = np.argsort(dp, axis=1, kind="stable")
+    part = np.take_along_axis(part, o2, axis=1)
+    dp = np.take_along_axis(dp, o2, axis=1)
+    # boundary-tie check: an excluded element equal to the kth distance
+    # could have a smaller pos (rid) than an included tie
+    kth = dp[:, kk - 1]
+    n_le = (d <= kth[:, None]).sum(axis=1)
+    bad = np.nonzero(n_le > kk)[0]
+    if len(bad):
+        full = np.argsort(d[bad], axis=1, kind="stable")[:, :kk]
+        part[bad] = full
+        dp[bad] = np.take_along_axis(d[bad], full, axis=1)
+    return part, dp
+
+
+def score_batch(
+    lid: np.ndarray,
+    lx: np.ndarray,
+    ly: np.ndarray,
+    lcell: np.ndarray,
+    index: RightIndex,
+    radius: int,
+    k: int,
+    chunk_budget: int = 262_144,
+):
+    """One Arrow batch → per-left-row top-k as flat values + offsets.
+
+    Returns (cols, offsets, rid_values, dist_values): ``cols`` is a dict
+    of per-row columns (lid, lx, ly, cnt, kth) in output row order,
+    ``offsets`` the int32 list offsets (len = rows+1), and the values the
+    flattened top-k — ready for zero-copy Arrow ListArray assembly. Every
+    input row produces exactly one output row (complete accounting);
+    cnt=0 rows have empty lists.
+
+    Rows are processed in count-sorted chunks padded to the chunk max
+    (bounded working set: cache-resident under concurrency, and a skewed
+    hot cell can't blow the matrix budget).
+    """
+    ni = _neighbor_index(index, radius)
+    n = len(lid)
+    starts, counts = ni.lookup(lcell)
+
+    order = np.argsort(counts, kind="stable")
+    cs = np.maximum(counts[order], 1)
+    row_parts, kth_parts, ridv_parts, distv_parts, lens_parts = [], [], [], [], []
+
+    i = 0
+    while i < n:
+        # counts are sorted ascending, so rows×max = (j-i)·cs[j-1] is
+        # nondecreasing in j → the chunk boundary is one binary search
+        # over a vectorized product (NO per-row Python loop)
+        f = np.arange(1, n - i + 1, dtype=np.int64) * cs[i:]
+        j = i + max(1, int(np.searchsorted(f, chunk_budget, side="right")))
+        rows = order[i:j]
+        i = j
+        cnts = counts[rows]
+        mmax = max(int(cnts[-1]), 1)
+        if cnts[-1] == 0:  # count-sorted: all-zero chunk
+            row_parts.append(rows)
+            kth_parts.append(np.full(len(rows), np.nan))
+            lens_parts.append(np.zeros(len(rows), np.int64))
+            ridv_parts.append(np.empty(0, np.int64))
+            distv_parts.append(np.empty(0))
+            continue
+        b = len(rows)
+        pad = np.arange(mmax, dtype=np.int64)[None, :]
+        mask = pad < cnts[:, None]
+        gidx = np.where(mask, starts[rows][:, None] + pad, 0)
+        pidx = ni.point_idx[gidx]  # b×m point idx
+        dx = lx[rows][:, None] - index.rx[pidx]
+        dy = ly[rows][:, None] - index.ry[pidx]
+        d = np.sqrt(dx * dx + dy * dy)
+        d[~mask] = np.inf
+        kk = min(k, int(cnts[-1]))
+        top, dist_mat = _topk_tie_exact(d, kk)
+        rid_mat = index.rid[np.take_along_axis(pidx, top, axis=1)]
+        lens = np.minimum(cnts, k)
+        keep = pad[:, :kk] < lens[:, None]  # drop pad/beyond-cnt slots
+        row_parts.append(rows)
+        kth_pos = np.maximum(lens, 1) - 1
+        kth = np.where(cnts > 0, dist_mat[np.arange(b), np.minimum(kth_pos, kk - 1)], np.nan)
+        kth_parts.append(kth)
+        lens_parts.append(lens)
+        ridv_parts.append(rid_mat[keep])
+        distv_parts.append(dist_mat[keep])
+
+    rows_all = np.concatenate(row_parts) if row_parts else np.empty(0, np.int64)
+    lens_all = np.concatenate(lens_parts) if lens_parts else np.empty(0, np.int64)
+    offsets = np.zeros(len(rows_all) + 1, dtype=np.int32)
+    offsets[1:] = np.cumsum(lens_all).astype(np.int32)
+    cols = {
+        "__lid": lid[rows_all],
+        "__lx": lx[rows_all],
+        "__ly": ly[rows_all],
+        "__cnt": counts[rows_all],
+        "__kth": np.concatenate(kth_parts) if kth_parts else np.empty(0),
+    }
+    ridv = np.concatenate(ridv_parts) if ridv_parts else np.empty(0, np.int64)
+    distv = np.concatenate(distv_parts) if distv_parts else np.empty(0)
+    return cols, offsets, ridv, distv

@@ -44,13 +44,11 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql import Window as W
 
 from geotables_jl_spark.core.geotable import GEOM, ROW_ID, GeoTable
 from geotables_jl_spark.geom.cells import (
     cell_block,
     cell_cover,
-    cell_ring,
     choose_cell_size,
     envelope_stats,
     point_cell,
@@ -502,77 +500,28 @@ def geojoin(
 # ---------------------------------------------------------------------------
 
 
-def _knn_round(
-    remaining: DataFrame,
-    right_base: DataFrame,
-    cell_size: float,
-    radius: int,
-    k: int,
-    on: list[str],
-    extra: list[str],
-    broadcast_right: bool,
-    explode_right: bool,
-) -> DataFrame:
-    """One expansion round → per-lid sorted top-k arrays.
-
-    Candidates = pairs within the (2r+1)^2 cell block. The ring explode
-    runs on whichever side is SMALLER (``explode_right``): with a small
-    broadcast right side, the 10^12-row left stream probes with one packed
-    cell id and never allocates an array. Top-k + certification stats come
-    from ONE aggregation (``array_sort(collect_list(...))``): no window
-    sort over the candidate stream, no second groupBy — candidate lists
-    are tiny (cell size targets ~k per block) so partial aggregation
-    trims the shuffle to one row per left id.
-
-    The candidate join is a LEFT join: lids with an empty block still
-    produce one aggregate row (empty list). That makes the round's
-    aggregate a complete accounting of ``remaining`` — the next round's
-    input derives from THIS persisted aggregate with a map-only filter,
-    eliminating the per-round anti-join (a shuffle of both full sides)
-    and the lineage recompute that dominated kNN wall time at 40M rows."""
-    # distinct per-side column names + unqualified refs: the left lineage
-    # may contain right_base, and dataset-qualified references would trip
-    # Spark's ambiguous-self-join detection
-    if explode_right:
-        r = right_base.withColumn("__rjc", F.explode(cell_block(F.col("__rx"), F.col("__ry"), cell_size, radius)))
-        l = remaining.withColumn("__ljc", F.col("__lcell"))
-    else:
-        l = remaining.withColumn(
-            "__ljc", F.explode(cell_block(F.col("__lx"), F.col("__ly"), cell_size, radius))
-        )
-        r = right_base.withColumnRenamed("__rcell", "__rjc")
-    if broadcast_right:
-        r = F.broadcast(r)
-    cond = F.col("__ljc") == F.col("__rjc")
-    for c in on:
-        cond = cond & F.col(f"__lon_{c}").eqNullSafe(F.col(f"__ron_{c}"))
-    cand = l.join(r, cond, "left").select(
-        F.col(_LID),
-        F.col("__lx"),
-        F.col("__ly"),
-        *[F.col(f"__lon_{c}") for c in on],
-        F.when(
-            F.col(_RID).isNotNull(),
-            F.struct(
-                F.hypot(F.col("__lx") - F.col("__rx"), F.col("__ly") - F.col("__ry")).alias("__dist"),
-                F.col(_RID),
-                *[F.col(c) for c in extra],
-            ),
-        ).alias("__c"),
+def _topk_select(df: DataFrame, scored_col: str, k: int, on: list[str]) -> DataFrame:
+    """(lid, lx, ly, on..., scored array) → (lid, lx, ly, on..., __cnt,
+    __top, __kth). The sort is the NATURAL struct ordering of
+    struct(__dist, __rid) — payload columns are deliberately NOT in the
+    struct (joined back by rid at the end of knn_pairs), so unorderable
+    right payload types never reach a comparison, and ties on distance
+    break deterministically by rid. NULL scored arrays flow through as
+    cnt=0 / top=NULL — a complete accounting of the input, so the next
+    round derives by a map-only filter (no anti-join)."""
+    srt = F.array_sort(F.col(scored_col))
+    # separate projection: array_sort is CodegenFallback, and inlining it
+    # into the 3 consumers below would evaluate the sort 3× per row
+    d = df.select(
+        _LID, "__lx", "__ly", *[f"__lon_{c}" for c in on], srt.alias("__srt")
     )
-    agg = cand.groupBy(_LID).agg(
-        F.array_sort(F.collect_list("__c")).alias("__all"),  # collect_list skips NULLs
-        F.first("__lx").alias("__lx"),
-        F.first("__ly").alias("__ly"),
-        *[F.first(f"__lon_{c}").alias(f"__lon_{c}") for c in on],
-    )
-    return agg.select(
+    return d.select(
         _LID,
         "__lx",
         "__ly",
         *[f"__lon_{c}" for c in on],
-        F.size("__all").alias("__cnt"),
-        F.slice("__all", 1, k).alias("__top"),
+        F.coalesce(F.size("__srt"), F.lit(0)).alias("__cnt"),
+        F.slice("__srt", 1, k).alias("__top"),
     ).withColumn(
         "__kth",
         F.when(
@@ -580,6 +529,183 @@ def _knn_round(
             F.element_at("__top", F.least(F.lit(k), F.col("__cnt")))["__dist"],
         ),
     )
+
+
+def _cand_struct() -> Column:
+    return F.struct(F.col("__rx"), F.col("__ry"), F.col(_RID))
+
+
+def _score(c: Column) -> Column:
+    """sqrt(dx²+dy²), NOT hypot: multiply/add/sqrt are each IEEE
+    correctly-rounded, so the JVM, the numpy kernel and the DuckDB oracle
+    produce bit-identical distances."""
+    dx = F.col("__lx") - c["__rx"]
+    dy = F.col("__ly") - c["__ry"]
+    return F.struct(
+        F.sqrt(dx * dx + dy * dy).alias("__dist"),
+        c[_RID].alias("__rid"),
+    )
+
+
+def _knn_round_numpy(remaining: DataFrame, bc, radius: int, k: int) -> DataFrame:
+    """MAP-ONLY kNN round for a broadcast-able right side — the 100 TB
+    shape of the north-star job (10^12-row page stream vs a directory
+    table). The whole right side rides to every worker as plain numpy
+    arrays (``geom/knn_kernel.RightIndex``, ~32 B/point via
+    sc.broadcast); the left stream ships ONLY (lid, lx, ly, cell) through
+    Arrow and the scoring/top-k runs vectorized in the kernel. ZERO
+    shuffle, zero groupBy, zero JVM per-element interpretation — the
+    round is a pure map over the scan, so throughput scales linearly
+    with executors (the north rule's scaling criterion). Output is
+    pair-shaped: min(cnt,k) rows per input row, or one rank=0 row when
+    cnt=0 (complete accounting for the remainder filter)."""
+    schema = T.StructType(
+        [
+            T.StructField(_LID, T.LongType()),
+            T.StructField("__lx", T.DoubleType()),
+            T.StructField("__ly", T.DoubleType()),
+            T.StructField("__cnt", T.LongType()),
+            T.StructField("__kth", T.DoubleType()),
+            T.StructField("__rids", T.ArrayType(T.LongType())),
+            T.StructField("__dists", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _iter(batches):
+        import pyarrow as pa
+
+        from geotables_jl_spark.geom.knn_kernel import score_batch
+
+        idx = bc.value
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            name_i = {nm: i for i, nm in enumerate(rb.schema.names)}
+
+            def col(nm, dt):
+                return rb.column(name_i[nm]).to_numpy(zero_copy_only=False).astype(dt, copy=False)
+
+            cols, offsets, ridv, distv = score_batch(
+                col(_LID, np.int64),
+                col("__lx", np.float64),
+                col("__ly", np.float64),
+                col("__lcell", np.int64),
+                idx,
+                radius,
+                k,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols["__lid"], pa.int64()),
+                    pa.array(cols["__lx"], pa.float64()),
+                    pa.array(cols["__ly"], pa.float64()),
+                    pa.array(cols["__cnt"], pa.int64()),
+                    pa.array(cols["__kth"], pa.float64()),
+                    pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(ridv, pa.int64())),
+                    pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(distv, pa.float64())),
+                ],
+                names=[_LID, "__lx", "__ly", "__cnt", "__kth", "__rids", "__dists"],
+            )
+
+    return remaining.select(_LID, "__lx", "__ly", "__lcell").mapInArrow(_iter, schema)
+
+
+def _knn_round_shuffle(
+    remaining: DataFrame,
+    right_base: DataFrame,
+    cell_size: float,
+    radius: int,
+    k: int,
+    on: list[str],
+    broadcast_right: bool,
+    explode_right: bool,
+) -> DataFrame:
+    """Generic kNN round: block-explode the SMALLER side (``explode_right``
+    False once the remainder set is smaller than the right table), cell
+    equi-join, one collect_list aggregation per lid. Used when the right
+    side is too large to broadcast, when ``on`` conjuncts are present, or
+    in later rounds where the shrunken remainder is the natural explode
+    side. Distance is computed BEFORE the aggregate (codegen) and the
+    collected struct is (dist, rid) only."""
+    if explode_right:
+        r = right_base.withColumn(
+            "__jc", F.explode(cell_block(F.col("__rx"), F.col("__ry"), cell_size, radius))
+        )
+        l = remaining.withColumn("__ljc", F.col("__lcell"))
+    else:
+        l = remaining.withColumn(
+            "__ljc", F.explode(cell_block(F.col("__lx"), F.col("__ly"), cell_size, radius))
+        )
+        r = right_base.withColumnRenamed("__rcell", "__jc")
+    if broadcast_right:
+        r = F.broadcast(r)
+    cond = F.col("__ljc") == F.col("__jc")
+    for c in on:
+        cond = cond & F.col(f"__lon_{c}").eqNullSafe(F.col(f"__ron_{c}"))
+    cand = l.join(r, cond, "left").select(
+        F.col(_LID),
+        F.col("__lx"),
+        F.col("__ly"),
+        *[F.col(f"__lon_{c}") for c in on],
+        F.when(F.col(_RID).isNotNull(), _score(_cand_struct())).alias("__c"),
+    )
+    agg = cand.groupBy(_LID).agg(
+        F.collect_list("__c").alias("__scored"),  # collect_list skips NULLs
+        F.first("__lx").alias("__lx"),
+        F.first("__ly").alias("__ly"),
+        *[F.first(f"__lon_{c}").alias(f"__lon_{c}") for c in on],
+    )
+    return _topk_select(agg, "__scored", k, on)
+
+
+def _knn_exact(
+    remaining: DataFrame,
+    right_base: DataFrame,
+    k: int,
+    on: list[str],
+    broadcast_right: bool,
+) -> DataFrame:
+    """Exact terminal round: every remaining lid against the FULL right
+    side (no cells). Runs only on the escalation tail — outlier/sparse
+    left points the ring expansion could not certify — so the remainder
+    is tiny by construction and the nested-loop cost is bounded. This is
+    the no-silent-drop guarantee: knn never returns partial results.
+
+    For a non-broadcast right side the per-lid candidate set is the whole
+    right table — too big for one collect_list buffer — so a bucketed
+    pre-reduce (groupBy(lid, hash(rid)%256) → local top-k) caps every
+    aggregation buffer at ~n2/256 and the final merge sees ≤ 256·k
+    candidates per lid."""
+    cond = F.lit(True)
+    for c in on:
+        cond = cond & F.col(f"__lon_{c}").eqNullSafe(F.col(f"__ron_{c}"))
+    r = F.broadcast(right_base) if broadcast_right else right_base
+    j = remaining.join(r, cond, "inner").select(
+        F.col(_LID),
+        F.col("__lx"),
+        F.col("__ly"),
+        *[F.col(f"__lon_{c}") for c in on],
+        _score(_cand_struct()).alias("__s"),
+    )
+    # lids that match nothing simply emit no pair rows — same contract as
+    # _explode_top dropping cnt=0 lids (the left spine restores NULLs)
+    if not broadcast_right:
+        pre = j.groupBy(_LID, F.pmod(F.hash(F.col("__s")["__rid"]), F.lit(256)).alias("__b")).agg(
+            F.slice(F.array_sort(F.collect_list("__s")), 1, k).alias("__top"),
+            F.first("__lx").alias("__lx"),
+            F.first("__ly").alias("__ly"),
+            *[F.first(f"__lon_{c}").alias(f"__lon_{c}") for c in on],
+        )
+        j = pre.select(
+            _LID, "__lx", "__ly", *[f"__lon_{c}" for c in on], F.explode("__top").alias("__s")
+        )
+    agg = j.groupBy(_LID).agg(
+        F.collect_list("__s").alias("__scored"),
+        F.first("__lx").alias("__lx"),
+        F.first("__ly").alias("__ly"),
+        *[F.first(f"__lon_{c}").alias(f"__lon_{c}") for c in on],
+    )
+    return _topk_select(agg, "__scored", k, on)
 
 
 def knn_pairs(
@@ -594,11 +720,17 @@ def knn_pairs(
     stats2: dict | None = None,
 ) -> DataFrame:
     """(lid, rid, __dist, __rank) pairs: k nearest right points per left
-    point. Iterative cell-ring expansion — each round only re-processes
-    left rows whose k-th neighbor is not yet certified, doubling the ring
-    radius; certified when kth_dist ≤ radius*cell_size (any point outside
-    the (2r+1)^2 block is strictly farther) or the block covers the data
-    extent."""
+    point. Iterative cell-ring expansion: certified when kth_dist ≤
+    radius*cell_size (any point outside the (2r+1)^2 block is strictly
+    farther); uncertified rows escalate (radius ×3) and the tail finishes
+    in an exact nested-loop round — no left row is ever dropped.
+
+    Scale shape (the north rule's scaling criterion): round 1 is sized
+    from density stats to certify ~99% of rows in ONE pass, and for a
+    broadcast-able right side that pass is MAP-ONLY (``_knn_round_map``)
+    — no shuffle, no groupBy, no window over the big left stream, so
+    throughput scales linearly with executors. Later rounds touch only
+    the persisted (tiny) remainder; the full input is never persisted."""
     on = list(on or [])
     extra = list(extra or [])
     s2 = stats2 or envelope_stats(df2)
@@ -610,26 +742,58 @@ def knn_pairs(
 
     n1 = max(s1["n"], 1)
     n2 = max(s2["n"], 1)
+    radius0 = 1
     if cell_size is None:
-        # expect ~k candidates inside the whole 3x3 block of round 1 (NOT
-        # per cell — that would mean 9k candidates per left row, and the
-        # candidate stream is the shuffle: at 20M left rows the difference
-        # is 10s of GB of spill). Under-filled blocks just take a second
-        # round at radius 2 (~2.8k expected), still O(k) per row.
-        cell_size = extent * math.sqrt(max(float(k), 1.0) / float(n2)) / 3.0
+        # size the ROUND-1 block so its certificate (kth ≤ radius·cell)
+        # already covers the typical kth distance with slack: for
+        # Poisson-ish density λ = n2/area, kth ≈ sqrt(k/(π·λ)); starting
+        # at radius 2 over cells of 0.42·sqrt(k/λ) gives guarantee
+        # 0.84·sqrt(k/λ) ⇒ P(certify) = P(Poisson(π·0.84²·k) ≥ k) ≳ 99.9%
+        # for k ≥ 5, with only ~25·0.18·k ≈ 4.4k candidates per left row
+        # (the finer grid trims the corner waste of a radius-1 block; a
+        # round-1 certification miss is what capped scaling efficiency at
+        # 0.45 in round 1 of this build).
+        area = max(ext_w, 1e-9) * max(ext_h, 1e-9)
+        cell_size = 0.42 * math.sqrt(max(float(k), 1.0) * area / float(n2))
         cell_size = min(max(cell_size, extent / 65536.0), extent)
+        radius0 = 2
 
     right_base = df2.select(
         F.col(ROW_ID).alias(_RID),
         F.col(GEOM)["x"].alias("__rx"),
         F.col(GEOM)["y"].alias("__ry"),
         *[F.col(c).alias(f"__ron_{c}") for c in on],
-        *extra,
         point_cell(F.col(GEOM), cell_size).alias("__rcell"),
-    ).persist()
+    )
     broadcast_right = n2 < BROADCAST_ROWS
-    # ring-explode the smaller side; the big side probes with one cell id
-    explode_right = broadcast_right or n2 <= n1
+    # the vectorized Arrow kernel path needs integral row ids (numpy
+    # int64 columns) and no `on` conjuncts; anything else → JVM rounds
+    id_ok = isinstance(df1.schema[ROW_ID].dataType, (T.LongType, T.IntegerType)) and isinstance(
+        df2.schema[ROW_ID].dataType, (T.LongType, T.IntegerType)
+    )
+    use_kernel = broadcast_right and not on and id_ok
+    bc = None
+    if use_kernel:
+        # ship the right side to workers ONCE as plain numpy (~32 B/pt):
+        # all rounds share it, only the gather radius changes
+        from geotables_jl_spark.geom.knn_kernel import RightIndex
+
+        pdf = right_base.select(_RID, "__rx", "__ry").toPandas()
+        bc = df1.sparkSession.sparkContext.broadcast(
+            RightIndex(
+                pdf[_RID].to_numpy(np.int64),
+                pdf["__rx"].to_numpy(np.float64),
+                pdf["__ry"].to_numpy(np.float64),
+                cell_size,
+            )
+        )
+    elif broadcast_right:
+        # small side only: rounds ≥ 2 re-read it for their broadcast map.
+        # A huge right side is NOT pinned — each (rare) extra round
+        # re-scans the source instead of pinning 10^12 rows of storage.
+        right_base = right_base.persist()
+
+    from geotables_jl_spark.geom.cells import cell_index, pack_cell
 
     remaining = df1.select(
         F.col(ROW_ID).alias(_LID),
@@ -638,51 +802,117 @@ def knn_pairs(
         *[F.col(c).alias(f"__lon_{c}") for c in on],
         point_cell(F.col(GEOM), cell_size).alias("__lcell"),
     )
+    rem_count = n1
     done_parts: list[DataFrame] = []
-    radius = 1
-    for _ in range(max_rounds):
-        agg = _knn_round(
-            remaining, right_base, cell_size, radius, k, on, extra, broadcast_right, explode_right
-        ).persist()
-        guarantee = float(radius) * cell_size
+    radius = radius0
+    round_no = 0
+    # bound on the per-round (2r+1)²·n explode/gather volume; past it the
+    # escalation tail finishes in the exact round instead
+    explode_budget = 64_000_000
+    while True:
+        round_no += 1
+        blocks = (2 * radius + 1) ** 2
         block_covers_extent = (2 * radius + 1) * cell_size >= 2.0 * extent
-        cert_cond = (F.col("__cnt") >= k) & (F.col("__kth") <= F.lit(guarantee))
-        certified = agg if block_covers_extent else agg.filter(cert_cond)
-        done_parts.append(
-            certified.select(_LID, F.posexplode("__top").alias("__pos", "__c")).select(
-                _LID,
-                F.col("__c")[_RID].alias(_RID),
-                F.col("__c")["__dist"].alias("__dist"),
-                (F.col("__pos") + 1).alias("__rank"),
-                *[F.col("__c")[c].alias(c) for c in extra],
+        if round_no > 1 and (
+            block_covers_extent
+            or round_no > max_rounds
+            or blocks * min(rem_count, n2) > explode_budget
+        ):
+            # escalation tail (tiny by construction): finish exactly —
+            # uncertified rows are NEVER silently dropped
+            done_parts.append(_explode_top(_knn_exact(remaining, right_base, k, on, broadcast_right)))
+            break
+        guarantee = float(radius) * cell_size
+        if use_kernel and round_no == 1 and rem_count >= blocks * n2:
+            # round 1, kernel path: ONE kernel execution — the round
+            # output (one row/lid, k-arrays ≈ 16·k B/row) is persisted so
+            # the certified pairs and the remainder both read the cache
+            # instead of re-running the map (the 2nd-pass recompute cost
+            # ~doubled kNN wall time at 40M rows). MEMORY_AND_DISK, the
+            # standard iterative-algorithm tradeoff (one input-sized
+            # artifact pinned until eviction).
+            rnd = _knn_round_numpy(remaining, bc, radius, k).persist()
+            cert_cond = (F.col("__cnt") >= k) & (F.col("__kth") <= F.lit(guarantee))
+            if block_covers_extent:
+                done_parts.append(_pairs_from_kernel(rnd))
+                break
+            done_parts.append(_pairs_from_kernel(rnd.filter(cert_cond)))
+            nxt = rnd.filter(~cert_cond).select(
+                _LID, "__lx", "__ly",
+                pack_cell(
+                    cell_index(F.col("__lx"), cell_size), cell_index(F.col("__ly"), cell_size)
+                ).alias("__lcell"),
             )
-        )
-        if block_covers_extent:
+        else:
+            agg = _knn_round_shuffle(
+                remaining, right_base, cell_size, radius, k, on,
+                broadcast_right, explode_right=n2 <= rem_count,
+            )
+            cert_cond = (F.col("__cnt") >= k) & (F.col("__kth") <= F.lit(guarantee))
+            if block_covers_extent:
+                done_parts.append(_explode_top(agg))
+                break
+            done_parts.append(_explode_top(agg.filter(cert_cond)))
+            # cnt=0 rows: false AND null is false in SQL, so ~cert_cond
+            # keeps them
+            nxt = agg.filter(~cert_cond).select(
+                _LID, "__lx", "__ly", *[f"__lon_{c}" for c in on],
+                pack_cell(
+                    cell_index(F.col("__lx"), cell_size), cell_index(F.col("__ly"), cell_size)
+                ).alias("__lcell"),
+            ).persist()
+        # Persist ONLY the remainder (≈1% of input with the stats-driven
+        # round-1 sizing) — the certified bulk is recomputed once by the
+        # caller's single action; persisted remainders stay pinned because
+        # later done_parts read them, and their total size is a fraction
+        # of one round-1 input. The count materializes the persist AND
+        # replaces the old per-round isEmpty() driver short-circuit.
+        remaining = nxt
+        rem_count = nxt.count()
+        if rem_count == 0:
+            nxt.unpersist()
             break
-        # the LEFT candidate join makes agg a complete accounting of
-        # `remaining` (empty blocks included): the next round's input is a
-        # map-only filter of the PERSISTED aggregate — no anti-join
-        # shuffle, no lineage recompute (cnt=0 rows: false AND null is
-        # false in SQL, so ~cert_cond keeps them)
-        from geotables_jl_spark.geom.cells import cell_index, pack_cell
-
-        remaining = agg.filter(~cert_cond).select(
-            _LID,
-            "__lx",
-            "__ly",
-            *[f"__lon_{c}" for c in on],
-            pack_cell(cell_index(F.col("__lx"), cell_size), cell_index(F.col("__ly"), cell_size)).alias(
-                "__lcell"
-            ),
-        )
-        if remaining.isEmpty():
-            break
-        radius *= 2
+        radius *= 3
 
     out = done_parts[0]
     for p in done_parts[1:]:
         out = out.unionByName(p)
+    out = out.select(_LID, _RID, "__dist", "__rank")
+    if extra:
+        # right payload joins back ONCE, by rid, after all rounds — keeps
+        # payload out of every sort/shuffle and permits unorderable types
+        payload = df2.select(F.col(ROW_ID).alias(_RID), *extra)
+        if broadcast_right:
+            payload = F.broadcast(payload)
+        out = out.join(payload, _RID, "left")
     return out.select(_LID, _RID, "__dist", "__rank", *extra)
+
+
+def _pairs_from_kernel(rnd: DataFrame) -> DataFrame:
+    """Kernel round output (one row per lid, top-k as ARRAY columns) →
+    (lid, rid, dist, rank) pair rows via codegen posexplode — the k× fan
+    -out happens JVM-side, never through Arrow. cnt=0 lids have empty
+    arrays and emit no rows (the caller's left spine restores NULLs)."""
+    return rnd.select(
+        _LID, F.posexplode(F.arrays_zip("__rids", "__dists")).alias("__pos", "__z")
+    ).select(
+        _LID,
+        F.col("__z")["__rids"].alias(_RID),
+        F.col("__z")["__dists"].alias("__dist"),
+        (F.col("__pos") + 1).alias("__rank"),
+    )
+
+
+def _explode_top(agg: DataFrame) -> DataFrame:
+    """Certified per-lid top arrays → (lid, rid, dist, rank) pair rows.
+    cnt=0 lids (no neighbor exists at all) emit no rows — the caller's
+    left spine restores them as NULL aggregates."""
+    return agg.select(_LID, F.posexplode("__top").alias("__pos", "__c")).select(
+        _LID,
+        F.col("__c")["__rid"].alias(_RID),
+        F.col("__c")["__dist"].alias("__dist"),
+        (F.col("__pos") + 1).alias("__rank"),
+    )
 
 
 def knn_join(

@@ -55,10 +55,15 @@ def partition_bisect(gtb: GeoTable, dx: float, dy: float, point: tuple[float, fl
 
 
 def partition_direction(gtb: GeoTable, dx: float, dy: float, nbins: int = 10) -> GeoTable:
-    """DirectionPartition: bin by projection onto a direction."""
+    """DirectionPartition: bin by projection onto a direction — exact
+    ntile over the global order, computed distributed (range-bucket rank,
+    ``operators/ranking.py``), ties broken by row_id."""
+    from geotables_jl_spark.operators.ranking import ntile_col
+
     cx, cy = _centroid_xy(F.col(GEOM))
     proj = cx * F.lit(dx) + cy * F.lit(dy)
-    return gtb._with(gtb.df.withColumn(PARTITION_COL, F.ntile(nbins).over(W.orderBy(proj)) - 1))
+    df = ntile_col(gtb.df, proj, nbins, out=PARTITION_COL, tiebreak=[F.col(ROW_ID).asc()])
+    return gtb._with(df.withColumn(PARTITION_COL, F.col(PARTITION_COL) - 1))
 
 
 def partition_predicate(gtb: GeoTable, pred: Column) -> GeoTable:

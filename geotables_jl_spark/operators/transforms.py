@@ -170,12 +170,12 @@ def zscore(gtb: GeoTable, *cols: str) -> GeoTable:
 
 
 def quantile_transform(gtb: GeoTable, col: str, nbins: int = 100) -> GeoTable:
-    """Quantile: rank / n via percent_rank window over a range-partitioned
-    sort (acceptable: single numeric column, range shuffle)."""
-    from pyspark.sql import Window as W
+    """Quantile: exact percent_rank, computed DISTRIBUTED (range-bucket
+    rank, ``operators/ranking.py``) — never a global unpartitioned
+    window."""
+    from geotables_jl_spark.operators.ranking import percent_rank_col
 
-    w = W.orderBy(F.col(col))
-    return gtb._with(gtb.df.withColumn(col, F.percent_rank().over(w)))
+    return gtb._with(percent_rank_col(gtb.df, F.col(col), out=col))
 
 
 # ---- geometric transforms -------------------------------------------------
