@@ -47,7 +47,9 @@ def dedup_exact_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.min(id_col).alias("keeper_id"),
             F.count(F.lit(1)).alias("dup_count"),
         )
-        .withColumn("fp", fingerprint(F.col(text_col)))
+        # fast twin: bit-identical to fingerprint() (pytest-verified incl.
+        # non-BMP), Arrow-batched Horner vs ~100k interpreted evals/s
+        .withColumn("fp", fingerprint_fast(F.col(text_col)))
         .select("keeper_id", "dup_count", "fp")
     )
 

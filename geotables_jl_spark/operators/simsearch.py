@@ -73,8 +73,9 @@ def cosine_topk(
     def _part(batches):
         import pandas as pd
 
-        cand_ids: list = []
-        cand_cos: list = []
+        q_parts: list = []
+        id_parts: list = []
+        cos_parts: list = []
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -84,28 +85,41 @@ def cosine_topk(
             ids = pdf["neighbor_id"].to_numpy()
             if excl:
                 S = np.where(ids[:, None] == qids[None, :], -np.inf, S)
-            b = S.shape[0]
+            b, m = S.shape
             take = min(kk, b)
-            top = np.argpartition(-S, take - 1, axis=0)[:take]  # take × m
-            cand_ids.append(ids[top])
-            cand_cos.append(np.take_along_axis(S, top, axis=0))
-        if not cand_ids:
+            # tie-INCLUSIVE per-batch prune: keep everything ≥ the k-th
+            # batch score — a tied neighbor with a smaller id at the
+            # batch boundary must survive to the exact global tiebreak
+            if take < b:
+                part = np.argpartition(-S, take - 1, axis=0)
+                kth = S[part[take - 1, :], np.arange(m)]
+                keep = S >= kth[None, :]
+            else:
+                keep = np.ones_like(S, dtype=bool)
+            rows_i, rows_q = np.nonzero(keep)
+            q_parts.append(rows_q)
+            id_parts.append(ids[rows_i])
+            cos_parts.append(S[rows_i, rows_q])
+        if not q_parts:
             return
-        ids_m = np.concatenate(cand_ids, axis=0)  # (sum takes) × m
-        cos_m = np.concatenate(cand_cos, axis=0)
-        n_c, m = cos_m.shape
-        take = min(kk, n_c)
-        # keep everything tied with the k-th score so global id-tiebreaks
-        # stay exact
-        part = np.argpartition(-cos_m, take - 1, axis=0)
-        kth = cos_m[part[take - 1, :], np.arange(m)]
-        keep = cos_m >= kth[None, :]
-        rows_q, rows_i = np.where(keep.T)
+        qv = np.concatenate(q_parts)
+        idv = np.concatenate(id_parts)
+        cv = np.concatenate(cos_parts)
+        # partition-level tie-safe top-k over the ragged candidate pool:
+        # sort by (query, score desc), take the per-query k-th score, keep
+        # every row ≥ it (ties included)
+        o = np.lexsort((-cv, qv))
+        qv, idv, cv = qv[o], idv[o], cv[o]
+        starts = np.r_[0, 1 + np.nonzero(np.diff(qv))[0]]
+        ends = np.r_[starts[1:], len(qv)]
+        kth_idx = np.minimum(starts + kk - 1, ends - 1)
+        kth_per_row = np.repeat(cv[kth_idx], ends - starts)
+        keep = cv >= kth_per_row
         yield pd.DataFrame(
             {
-                "query_id": qids[rows_q],
-                "neighbor_id": ids_m[rows_i, rows_q],
-                "cosine": cos_m[rows_i, rows_q],
+                "query_id": qids[qv[keep]],
+                "neighbor_id": idv[keep],
+                "cosine": cv[keep],
             }
         )
 
@@ -144,6 +158,7 @@ def ann_lsh_topk(
     probes: int = 1,
     seed: int = 42,
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via sign-LSH buckets + multi-probe.
 
@@ -157,7 +172,10 @@ def ann_lsh_topk(
     """
     import numpy as np
 
-    dim = len(corpus.select(vec_col).first()[0])
+    # dim= lets callers skip the 1-row planning action (same escape hatch
+    # as geojoin's stats=)
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
     H = rng.standard_normal((planes, dim))
 

@@ -23,7 +23,10 @@ def _py_fp(s: str) -> int:
 
 
 def test_fingerprint_fast_matches_sql_and_python(spark):
-    texts = ["", "a", "hello world", "x" * 700, "Üñíçødé text", "tab\tand\nnewline"]
+    # includes non-BMP (surrogate-pair) input: emoji, math alphanumerics —
+    # Spark's split('')+ascii folds CODEPOINTS, as does the utf-32 fast path
+    texts = ["", "a", "hello world", "x" * 700, "Üñíçødé text", "tab\tand\nnewline",
+             "emoji 😀 test", "𝕏 math 🎉🎉", "mixed 漢字 and 😺"]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
     rows = df.select(
         "id", fingerprint(F.col("t")).alias("sql_fp"), fingerprint_fast(F.col("t")).alias("fast_fp")

@@ -128,6 +128,20 @@ def test_cosine_topk_vs_numpy(spark, vecs):
     assert by_q[0][0] == 8  # the planted near-dup is rank 1 for query 0
 
 
+def test_cosine_topk_tie_safety_across_batches(spark):
+    """Regression: exact-duplicate vectors (all cosine 1.0 with the query)
+    spread over many partitions must yield the k SMALLEST ids — the
+    per-batch prune must be tie-inclusive or a smaller-id tie at a batch
+    boundary is silently dropped."""
+    v = [1.0, 0.0, 0.5, 0.25]
+    rows = [(i, v) for i in range(200)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(16)
+    queries = spark.createDataFrame([(999, v)], "query_id long, query_vec array<float>")
+    got = SS.cosine_topk(corpus, queries, k=5, exclude_self=False).collect()
+    ids = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert ids == [0, 1, 2, 3, 4]
+
+
 def test_ann_lsh_subset_of_exact(spark, vecs):
     queries = vecs.filter(F.col("vec_id") < 2).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")

@@ -73,8 +73,9 @@ def main() -> None:
             timeout=3000,
         )
 
-    hw_ratio = calibrate(lo, hi)
-    hw_ceiling = hw_ratio / (hi / lo)
+    # calibration interleaved with the measurement (before AND after) so
+    # the ceiling reflects host state DURING the runs, not minutes away
+    hw_ratio_pre = calibrate(lo, hi)
 
     # the VM's available CPU drifts over minutes (noisy neighbors / steal):
     # interleave the levels and keep the best run per (level, job) so a
@@ -88,12 +89,18 @@ def main() -> None:
                 if cur is None or r["sec"] < cur["sec"]:
                     store[r["job"]] = r
 
+    hw_ratio_post = calibrate(lo, hi)
+    hw_ratio = (hw_ratio_pre + hw_ratio_post) / 2.0
+    hw_ceiling = hw_ratio / (hi / lo)
+
     rows = []
     summary = {
         "lo_cpus": lo,
         "hi_cpus": hi,
         "amp": amp,
         "hw_throughput_ratio": round(hw_ratio, 3),
+        "hw_ratio_pre": round(hw_ratio_pre, 3),
+        "hw_ratio_post": round(hw_ratio_post, 3),
         "hw_efficiency_ceiling": round(hw_ceiling, 3),
         "jobs": {},
     }
@@ -136,8 +143,12 @@ def main() -> None:
         "geotagged pages (parquet, 96 splits), identical bytes at both levels.\n\n"
         f"| job | rows | local[{lo}] | local[{hi}] | speedup | eff (raw) | eff (vs hw ceiling, target ≥0.8) |\n"
         "|---|---|---|---|---|---|---|\n" + "\n".join(rows) + "\n\n"
-        "Efficiency = speedup / (32/8). Generated by `tools/scaling_bench.py`;\n"
-        "per-query wall times at sf0.1 come from `bench.py` (one JSON line).\n"
+        f"Raw efficiency = speedup / ({hi}/{lo}); normalized = speedup /\n"
+        f"{hw_ratio:.2f} (the measured ceiling). A normalized value > 1.0 is\n"
+        "measurement noise (the ceiling probe and the job run minutes apart on\n"
+        "a drifting VM) and should be read as \"at the ceiling\", not above it.\n"
+        "Generated by `tools/scaling_bench.py`; per-query wall times at sf0.1\n"
+        "come from `bench.py` (one JSON line).\n"
     )
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
