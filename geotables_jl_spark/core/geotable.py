@@ -23,7 +23,6 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from geotables_jl_spark.geom.model import GEOMETRY_TYPE, st_box, st_point
 
@@ -152,8 +151,12 @@ def _add_row_id(df: DataFrame, order_by: str | None = None) -> DataFrame:
     if ROW_ID in df.columns:
         return df
     if order_by is not None:
-        w = W.orderBy(F.col(order_by))
-        return df.withColumn(ROW_ID, F.row_number().over(w).cast("long") - 1)
+        # distributed range-bucket rank (operators/ranking.py), never an
+        # unpartitioned Window (one-task collapse at scale)
+        from geotables_jl_spark.operators.ranking import global_rank
+
+        out, _ = global_rank(df, F.col(order_by), out=ROW_ID, mode="row_number")
+        return out.withColumn(ROW_ID, (F.col(ROW_ID) - 1).cast("long"))
     return df.withColumn(ROW_ID, F.monotonically_increasing_id())
 
 

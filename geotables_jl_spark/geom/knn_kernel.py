@@ -93,16 +93,21 @@ class NeighborIndex:
         return starts.astype(np.int64), counts.astype(np.int64)
 
 
-# worker-global neighbor-index memo (workers are reused across batches)
-_NI_CACHE: dict = {}
+# worker-global neighbor-index memo (workers are reused across batches).
+# Keyed per radius so the base round AND its escalation radius stay
+# cached together — the escalation path runs on a few rows of nearly
+# every batch, and rebuilding its index per batch would dominate.
+_NI_CACHE: dict = {"base_id": None, "by_radius": {}}
 
 
 def _neighbor_index(base: RightIndex, radius: int) -> NeighborIndex:
-    key = (id(base), int(radius))
-    ni = _NI_CACHE.get(key)
+    if _NI_CACHE["base_id"] != id(base):
+        _NI_CACHE["base_id"] = id(base)
+        _NI_CACHE["by_radius"] = {}
+    by_r = _NI_CACHE["by_radius"]
+    ni = by_r.get(int(radius))
     if ni is None:
-        _NI_CACHE.clear()  # one (base, radius) live at a time per worker
-        ni = _NI_CACHE[key] = NeighborIndex(base, radius)
+        ni = by_r[int(radius)] = NeighborIndex(base, radius)
     return ni
 
 
@@ -221,3 +226,171 @@ def score_batch(
     ridv = np.concatenate(ridv_parts) if ridv_parts else np.empty(0, np.int64)
     distv = np.concatenate(distv_parts) if distv_parts else np.empty(0)
     return cols, offsets, ridv, distv
+
+
+# escalation index stays bounded: n2·(2·3r+1)² entries beyond this →
+# skip the indexed retry and brute-force the (tiny) tail directly
+_ESCALATE_MAX_ENTRIES = 30_000_000
+
+
+def _ragged_arange(lens: np.ndarray) -> np.ndarray:
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    return np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) - np.repeat(starts, lens)
+
+
+def _brute_rows(lx: np.ndarray, ly: np.ndarray, index: RightIndex, k: int, chunk_budget: int):
+    """Exact top-k for a (tiny) set of rows against ALL right points.
+    Column position is rid order (index arrays are rid-sorted), so ties
+    resolve identically to the indexed path. Returns (lens, kth, ridv,
+    distv) with rows in input order."""
+    n2 = len(index.rid)
+    nb = len(lx)
+    kk = min(k, n2)
+    step = max(1, chunk_budget // max(n2, 1))
+    lens = np.full(nb, kk, dtype=np.int64)
+    kth = np.empty(nb)
+    ridv_parts, distv_parts = [], []
+    for i in range(0, nb, step):
+        dx = lx[i : i + step, None] - index.rx[None, :]
+        dy = ly[i : i + step, None] - index.ry[None, :]
+        d = np.sqrt(dx * dx + dy * dy)
+        top, dp = _topk_tie_exact(d, kk)
+        kth[i : i + step] = dp[:, -1]
+        ridv_parts.append(index.rid[top].reshape(-1))
+        distv_parts.append(dp.reshape(-1))
+    ridv = np.concatenate(ridv_parts) if ridv_parts else np.empty(0, np.int64)
+    distv = np.concatenate(distv_parts) if distv_parts else np.empty(0)
+    return lens, kth, ridv, distv
+
+
+def score_batch_exact(
+    lid: np.ndarray,
+    lx: np.ndarray,
+    ly: np.ndarray,
+    lcell: np.ndarray,
+    index: RightIndex,
+    radius: int,
+    k: int,
+    chunk_budget: int = 262_144,
+):
+    """EXACT one-pass kNN: the radius-r indexed pass certifies the bulk
+    (kth ≤ r·cell ⇒ no point outside the block can beat it), uncertified
+    rows retry at radius·3 IN-KERNEL (the broadcast index is already on
+    this worker), and the residue is brute-forced against the full right
+    side. No driver rounds, no persisted intermediates, no shuffle — the
+    whole job is a single map over the left stream, which is what makes
+    kNN throughput scale linearly with executors (the north rule).
+
+    Same return shape as ``score_batch``; every input row yields exactly
+    one output row with its true top-min(k, n2) neighbors.
+    """
+    n = len(lid)
+    n2 = len(index.rid)
+    if n2 == 0 or n == 0:
+        return (
+            {
+                "__lid": lid,
+                "__lx": lx,
+                "__ly": ly,
+                "__cnt": np.zeros(n, np.int64),
+                "__kth": np.full(n, np.nan),
+            },
+            np.zeros(n + 1, np.int32),
+            np.empty(0, np.int64),
+            np.empty(0),
+        )
+
+    cols, offsets, ridv, distv = score_batch(lid, lx, ly, lcell, index, radius, k, chunk_budget)
+    # score_batch emits rows in count-sorted order (rows_all = perm).
+    # Matching back by lid would be wrong (dup lids allowed), so rebuild
+    # the permutation exactly as score_batch derives it: stable argsort
+    # of the per-row neighborhood counts.
+    ni = _neighbor_index(index, radius)
+    _, counts = ni.lookup(lcell)
+    perm = np.argsort(counts, kind="stable")
+    lens1 = np.diff(offsets).astype(np.int64)
+    guarantee = float(radius) * index.cell_size
+    cnt1 = cols["__cnt"]
+    kth1 = cols["__kth"]
+    cert = ((cnt1 >= k) & ~np.isnan(kth1) & (kth1 <= guarantee)) | (cnt1 >= n2)
+    if cert.all():
+        return cols, offsets, ridv, distv
+
+    bad = np.nonzero(~cert)[0]  # positions in score_batch output order
+    bad_in = perm[bad]  # positions in input order
+    sub_lens = np.zeros(len(bad), np.int64)
+    sub_kth = np.full(len(bad), np.nan)
+    r2 = radius * 3
+    tried_escalate = n2 * (2 * r2 + 1) ** 2 <= _ESCALATE_MAX_ENTRIES
+    still = np.arange(len(bad))
+    if tried_escalate:
+        c2, o2, rv2, dv2 = score_batch(
+            lid[bad_in], lx[bad_in], ly[bad_in], lcell[bad_in], index, r2, k, chunk_budget
+        )
+        _, counts2 = _neighbor_index(index, r2).lookup(lcell[bad_in])
+        perm2 = np.argsort(counts2, kind="stable")
+        g2 = float(r2) * index.cell_size
+        cert2 = ((c2["__cnt"] >= k) & ~np.isnan(c2["__kth"]) & (c2["__kth"] <= g2)) | (
+            c2["__cnt"] >= n2
+        )
+        l2 = np.diff(o2).astype(np.int64)
+        # scatter certified retry results into the bad-row slots
+        ok2 = np.nonzero(cert2)[0]
+        tgt = perm2[ok2]  # positions within `bad`
+        sub_lens[tgt] = l2[ok2]
+        sub_kth[tgt] = c2["__kth"][ok2]
+        # values for certified rows, reordered to tgt order
+        v_off = np.zeros(len(l2) + 1, np.int64)
+        v_off[1:] = np.cumsum(l2)
+        pos2 = np.repeat(v_off[ok2], l2[ok2]) + _ragged_arange(l2[ok2])
+        esc_ridv, esc_distv = rv2[pos2], dv2[pos2]
+        still = perm2[np.nonzero(~cert2)[0]]
+    else:
+        esc_ridv = np.empty(0, np.int64)
+        esc_distv = np.empty(0)
+        ok2 = np.empty(0, np.int64)
+        tgt = np.empty(0, np.int64)
+        l2 = np.empty(0, np.int64)
+    if len(still):
+        bl, bk, brv, bdv = _brute_rows(lx[bad_in[still]], ly[bad_in[still]], index, k, chunk_budget)
+        sub_lens[still] = bl
+        sub_kth[still] = bk
+    else:
+        brv, bdv = np.empty(0, np.int64), np.empty(0)
+
+    # ---- splice: final output in INPUT row order
+    lens_f = np.empty(n, np.int64)
+    kth_f = np.empty(n)
+    cnt_f = np.empty(n, np.int64)
+    ok1 = np.nonzero(cert)[0]
+    lens_f[perm[ok1]] = lens1[ok1]
+    kth_f[perm[ok1]] = kth1[ok1]
+    cnt_f[perm[ok1]] = cnt1[ok1]
+    lens_f[bad_in] = sub_lens
+    kth_f[bad_in] = sub_kth
+    cnt_f[bad_in] = np.maximum(sub_lens, cnt1[bad])  # ≥ what any pass saw
+    off_f = np.zeros(n + 1, np.int64)
+    off_f[1:] = np.cumsum(lens_f)
+    ridv_f = np.empty(int(off_f[-1]), np.int64)
+    distv_f = np.empty(int(off_f[-1]))
+
+    def _scatter(dst_rows, src_vals_r, src_vals_d, src_lens):
+        if not len(dst_rows):
+            return
+        pos = np.repeat(off_f[dst_rows], src_lens) + _ragged_arange(src_lens)
+        ridv_f[pos] = src_vals_r
+        distv_f[pos] = src_vals_d
+
+    # pass-1 certified values
+    pos1 = np.repeat(offsets[:-1].astype(np.int64)[ok1], lens1[ok1]) + _ragged_arange(lens1[ok1])
+    _scatter(perm[ok1], ridv[pos1], distv[pos1], lens1[ok1])
+    # escalation-certified values (already in tgt order)
+    if len(tgt):
+        _scatter(bad_in[tgt], esc_ridv, esc_distv, l2[ok2])
+    # brute-forced tail
+    if len(still):
+        _scatter(bad_in[still], brv, bdv, sub_lens[still])
+
+    cols_f = {"__lid": lid, "__lx": lx, "__ly": ly, "__cnt": cnt_f, "__kth": kth_f}
+    return cols_f, off_f.astype(np.int32), ridv_f, distv_f

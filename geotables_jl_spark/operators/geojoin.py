@@ -547,18 +547,26 @@ def _score(c: Column) -> Column:
     )
 
 
-def _knn_round_numpy(remaining: DataFrame, bc, radius: int, k: int) -> DataFrame:
-    """MAP-ONLY kNN round for a broadcast-able right side — the 100 TB
+def _knn_round_numpy(
+    remaining: DataFrame, bc, radius: int, k: int, exact: bool = False
+) -> DataFrame:
+    """MAP-ONLY kNN pass for a broadcast-able right side — the 100 TB
     shape of the north-star job (10^12-row page stream vs a directory
     table). The whole right side rides to every worker as plain numpy
     arrays (``geom/knn_kernel.RightIndex``, ~32 B/point via
     sc.broadcast); the left stream ships ONLY (lid, lx, ly, cell) through
     Arrow and the scoring/top-k runs vectorized in the kernel. ZERO
     shuffle, zero groupBy, zero JVM per-element interpretation — the
-    round is a pure map over the scan, so throughput scales linearly
-    with executors (the north rule's scaling criterion). Output is
-    pair-shaped: min(cnt,k) rows per input row, or one rank=0 row when
-    cnt=0 (complete accounting for the remainder filter)."""
+    pass is a pure map over the scan, so throughput scales linearly
+    with executors (the north rule's scaling criterion).
+
+    ``exact=True`` runs ``score_batch_exact``: certification, radius
+    escalation and the brute-force outlier tail all happen INSIDE the
+    kernel against the already-resident broadcast index, so the whole
+    kNN job is ONE Spark stage — no driver rounds, no persisted
+    intermediates, no count() barriers. This is what fixed the round-1
+    scaling-efficiency failure (0.45): the old loop serialized on a
+    per-round job barrier + remainder count."""
     schema = T.StructType(
         [
             T.StructField(_LID, T.LongType()),
@@ -574,8 +582,9 @@ def _knn_round_numpy(remaining: DataFrame, bc, radius: int, k: int) -> DataFrame
     def _iter(batches):
         import pyarrow as pa
 
-        from geotables_jl_spark.geom.knn_kernel import score_batch
+        from geotables_jl_spark.geom.knn_kernel import score_batch, score_batch_exact
 
+        kernel = score_batch_exact if exact else score_batch
         idx = bc.value
         for rb in batches:
             if rb.num_rows == 0:
@@ -585,7 +594,7 @@ def _knn_round_numpy(remaining: DataFrame, bc, radius: int, k: int) -> DataFrame
             def col(nm, dt):
                 return rb.column(name_i[nm]).to_numpy(zero_copy_only=False).astype(dt, copy=False)
 
-            cols, offsets, ridv, distv = score_batch(
+            cols, offsets, ridv, distv = kernel(
                 col(_LID, np.int64),
                 col("__lx", np.float64),
                 col("__ly", np.float64),
@@ -735,6 +744,23 @@ def knn_pairs(
     extra = list(extra or [])
     s2 = stats2 or envelope_stats(df2)
     s1 = stats1 or envelope_stats(df1)
+    if s1["n"] == 0 or s2["n"] == 0 or s1["xmax"] is None or s2["xmax"] is None:
+        # empty side ⇒ no pairs (left spine restores NULLs in the
+        # aggregate form); schema must still match the non-empty path
+        spark = df1.sparkSession
+        empty = spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(_LID, df1.schema[ROW_ID].dataType),
+                    T.StructField(_RID, df2.schema[ROW_ID].dataType),
+                    T.StructField("__dist", T.DoubleType()),
+                    T.StructField("__rank", T.IntegerType()),
+                ]
+                + [df2.schema[c] for c in extra]
+            ),
+        )
+        return empty
     ext_w = max(s1["xmax"], s2["xmax"]) - min(s1["xmin"], s2["xmin"])
     ext_h = max(s1["ymax"], s2["ymax"]) - min(s1["ymin"], s2["ymin"])
     extent = max(ext_w, ext_h, 1e-9)
@@ -802,6 +828,21 @@ def knn_pairs(
         *[F.col(c).alias(f"__lon_{c}") for c in on],
         point_cell(F.col(GEOM), cell_size).alias("__lcell"),
     )
+    if use_kernel:
+        # ONE exact map-only stage: certification, radius escalation and
+        # the brute-force outlier tail all run inside the Arrow kernel
+        # against the resident broadcast index (score_batch_exact). No
+        # driver rounds, no persist, no count() barrier — the job is a
+        # single narrow map over the left scan, the shape that scales
+        # linearly with executors (round-1's loop measured 0.45
+        # efficiency; a pure map measures like the intersects join).
+        out = _pairs_from_kernel(_knn_round_numpy(remaining, bc, radius0, k, exact=True))
+        out = out.select(_LID, _RID, "__dist", "__rank")
+        if extra:
+            payload = F.broadcast(df2.select(F.col(ROW_ID).alias(_RID), *extra))
+            out = out.join(payload, _RID, "left")
+        return out.select(_LID, _RID, "__dist", "__rank", *extra)
+
     rem_count = n1
     done_parts: list[DataFrame] = []
     radius = radius0
@@ -823,44 +864,23 @@ def knn_pairs(
             done_parts.append(_explode_top(_knn_exact(remaining, right_base, k, on, broadcast_right)))
             break
         guarantee = float(radius) * cell_size
-        if use_kernel and round_no == 1 and rem_count >= blocks * n2:
-            # round 1, kernel path: ONE kernel execution — the round
-            # output (one row/lid, k-arrays ≈ 16·k B/row) is persisted so
-            # the certified pairs and the remainder both read the cache
-            # instead of re-running the map (the 2nd-pass recompute cost
-            # ~doubled kNN wall time at 40M rows). MEMORY_AND_DISK, the
-            # standard iterative-algorithm tradeoff (one input-sized
-            # artifact pinned until eviction).
-            rnd = _knn_round_numpy(remaining, bc, radius, k).persist()
-            cert_cond = (F.col("__cnt") >= k) & (F.col("__kth") <= F.lit(guarantee))
-            if block_covers_extent:
-                done_parts.append(_pairs_from_kernel(rnd))
-                break
-            done_parts.append(_pairs_from_kernel(rnd.filter(cert_cond)))
-            nxt = rnd.filter(~cert_cond).select(
-                _LID, "__lx", "__ly",
-                pack_cell(
-                    cell_index(F.col("__lx"), cell_size), cell_index(F.col("__ly"), cell_size)
-                ).alias("__lcell"),
-            )
-        else:
-            agg = _knn_round_shuffle(
-                remaining, right_base, cell_size, radius, k, on,
-                broadcast_right, explode_right=n2 <= rem_count,
-            )
-            cert_cond = (F.col("__cnt") >= k) & (F.col("__kth") <= F.lit(guarantee))
-            if block_covers_extent:
-                done_parts.append(_explode_top(agg))
-                break
-            done_parts.append(_explode_top(agg.filter(cert_cond)))
-            # cnt=0 rows: false AND null is false in SQL, so ~cert_cond
-            # keeps them
-            nxt = agg.filter(~cert_cond).select(
-                _LID, "__lx", "__ly", *[f"__lon_{c}" for c in on],
-                pack_cell(
-                    cell_index(F.col("__lx"), cell_size), cell_index(F.col("__ly"), cell_size)
-                ).alias("__lcell"),
-            ).persist()
+        agg = _knn_round_shuffle(
+            remaining, right_base, cell_size, radius, k, on,
+            broadcast_right, explode_right=n2 <= rem_count,
+        )
+        cert_cond = (F.col("__cnt") >= k) & (F.col("__kth") <= F.lit(guarantee))
+        if block_covers_extent:
+            done_parts.append(_explode_top(agg))
+            break
+        done_parts.append(_explode_top(agg.filter(cert_cond)))
+        # cnt=0 rows: false AND null is false in SQL, so ~cert_cond
+        # keeps them
+        nxt = agg.filter(~cert_cond).select(
+            _LID, "__lx", "__ly", *[f"__lon_{c}" for c in on],
+            pack_cell(
+                cell_index(F.col("__lx"), cell_size), cell_index(F.col("__ly"), cell_size)
+            ).alias("__lcell"),
+        ).persist()
         # Persist ONLY the remainder (≈1% of input with the stats-driven
         # round-1 sizing) — the certified bulk is recomputed once by the
         # caller's single action; persisted remainders stay pinned because
