@@ -21,6 +21,7 @@ Parity conventions (so value-hashes match bit-for-bit):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -414,6 +415,40 @@ def q_webpages_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geojoin_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geojoin across CRS codes: right table georef'd in EPSG:3857
+    (WebMercator meters), left 10° tiles in EPSG:4326 — geojoin
+    auto-reprojects the right side into the left CRS with the registry's
+    closed-form inverse (functions/crs.py), mirroring
+    ``src/geoops/geojoin.jl:216-224`` + ``src/georef.jl:185-188``.
+    Output is integer-only (tile_id, count, min key): the oracle tiles
+    the source lat/lon directly, so the check verifies the projection
+    ROUNDTRIP is faithful (error ~1e-12° vs a 0.05° edge margin) without
+    requiring bit-identical transcendentals across engines."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    key = F.col("c_custkey")
+    lat = ((key * 104729) % 1700) / 10.0 - 85.0 + 0.05
+    lon = ((key * 7919) % 3600) / 10.0 - 180.0 + 0.05
+    R = 6378137.0
+    mx = lon * F.lit(R * math.pi / 180.0)
+    my = F.log(F.tan(F.lit(math.pi / 4.0) + F.radians(lat) / F.lit(2.0))) * F.lit(R)
+    pts = cust.select(
+        key.alias("row_id"),
+        key.alias("cust_id"),
+        key.alias("cust_min"),
+        mx.alias("mx"),
+        my.alias("my"),
+    )
+    right = georef(pts, coords=["mx", "my"], crs="EPSG:3857")
+    tiles = _tiles(spark, crs="EPSG:4326")  # canonicalizes to LatLon
+    res = geojoin(tiles, right, aggs={"cust_id": "count", "cust_min": "min"}, kind="inner")
+    return res.df.select(
+        "tile_id",
+        F.col("cust_id").cast("long").alias("n_pts"),
+        F.col("cust_min").cast("long").alias("min_key"),
+    )
+
+
 def q_webpages_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = webpages_from_documents(spark, sf_dir)
     return pages.select(
@@ -479,6 +514,18 @@ def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _cust_points(spark, sf_dir, keep=["c_acctbal"])
     g = TR.minmax(cust, "c_acctbal")
     return g.df.select(F.col(ROW_ID).alias("c_custkey"), F.col("c_acctbal").alias("scaled"))
+
+
+def q_interquartile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interquartile rescaler (reference ``test/feature.jl:26``): one
+    exact-percentile agg folded back as literals. Rounded to 6 decimals
+    on both sides (exact interpolated percentile op order may differ by
+    ulps between engines)."""
+    cust = _cust_points(spark, sf_dir, keep=["c_acctbal"])
+    g = TR.interquartile(cust, "c_acctbal")
+    return g.df.select(
+        F.col(ROW_ID).alias("c_custkey"), F.round(F.col("c_acctbal"), 6).alias("iq_bal")
+    )
 
 
 def q_tablejoin_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -558,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
         "webpages_tiles": q_webpages_tiles,
+        "geojoin_reproject": q_geojoin_reproject,
         "webpages_identity": q_webpages_identity,
         "multimodal_meta": q_multimodal_meta,
         "feature_zscore": q_feature_zscore,
@@ -565,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parent_scatter": q_parent_scatter,
         "dropextrema": q_dropextrema,
         "minmax_scale": q_minmax_scale,
+        "interquartile": q_interquartile,
         "tablejoin_aggs": q_tablejoin_aggs,
     }
 
@@ -789,6 +838,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_pages, min(url) AS min_url
             FROM pages GROUP BY 1
         """,
+        "geojoin_reproject": """
+            WITH pts AS (
+              SELECT c_custkey AS k,
+                     (CAST((c_custkey * 104729) % 1700 AS DOUBLE))/10.0 - 85.0 + 0.05 AS lat,
+                     (CAST((c_custkey * 7919) % 3600 AS DOUBLE))/10.0 - 180.0 + 0.05 AS lon
+              FROM customer
+            )
+            SELECT CAST(floor((lat+90.0)/10.0) AS BIGINT)*36 + CAST(floor((lon+180.0)/10.0) AS BIGINT) AS tile_id,
+                   count(*) AS n_pts, min(k) AS min_key
+            FROM pts GROUP BY 1
+        """,
         "webpages_identity": f"""
             WITH pages AS ({_SQL_PAGES})
             SELECT url, CAST(ts_epoch AS BIGINT) AS ts_epoch, lang,
@@ -830,6 +890,12 @@ def oracle_sql() -> dict[str, str]:
         "minmax_scale": """
             WITH s AS (SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM customer)
             SELECT c_custkey, (c_acctbal - s.lo) / (s.hi - s.lo) AS scaled
+            FROM customer, s
+        """,
+        "interquartile": """
+            WITH s AS (SELECT quantile_cont(c_acctbal, 0.25) AS q1,
+                              quantile_cont(c_acctbal, 0.75) AS q3 FROM customer)
+            SELECT c_custkey, round((c_acctbal - s.q1) / (s.q3 - s.q1), 6) AS iq_bal
             FROM customer, s
         """,
         "tablejoin_aggs": """

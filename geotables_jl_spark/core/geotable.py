@@ -183,7 +183,7 @@ def georef(
     """
     if geoms is not None:
         out = df.withColumn(GEOM, geoms)
-        return GeoTable(df=_add_row_id(out, row_id_order), crs=crs or "Cartesian", lenunit=lenunit)
+        return GeoTable(df=_add_row_id(out, row_id_order), crs=_canon_crs(crs or "Cartesian"), lenunit=lenunit)
 
     if coords is not None:
         names = list(coords)
@@ -193,14 +193,29 @@ def georef(
             guessed = "LatLon"
             x_col, y_col = lon, lat  # x=lon, y=lat; CRS order is (lat, lon)
         else:
-            guessed = crs or "Cartesian"
+            guessed = _canon_crs(crs or "Cartesian")
             x_col, y_col = names[0], names[1]
         out = df.withColumn(GEOM, st_point(F.col(x_col), F.col(y_col))).drop(*names)
         return GeoTable(df=_add_row_id(out, row_id_order), crs=guessed, lenunit=lenunit)
 
     if GEOM not in df.columns:
         raise ValueError("georef: need coords=, geoms=, or an existing geometry column")
-    return GeoTable(df=_add_row_id(df, row_id_order), crs=crs or "Cartesian", lenunit=lenunit)
+    return GeoTable(df=_add_row_id(df, row_id_order), crs=_canon_crs(crs or "Cartesian"), lenunit=lenunit)
+
+
+def _canon_crs(spec: str) -> str:
+    """Canonicalize an authority-code CRS spec ('EPSG:4326' → 'LatLon',
+    'EPSG:32630' → 'UTM:30N') so CRS equality checks (geojoin auto-
+    reproject) compare by meaning, not spelling. Unknown specs pass
+    through as opaque local systems that only equal themselves —
+    mirroring the reference accepting arbitrary CoordRefSystems types
+    (``src/georef.jl:185-188``)."""
+    from geotables_jl_spark.functions.crs import canonical_crs
+
+    try:
+        return canonical_crs(spec)
+    except ValueError:
+        return spec
 
 
 def georef_grid(

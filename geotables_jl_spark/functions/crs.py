@@ -1,19 +1,34 @@
-"""CRS handling: table-level CRS property + reprojection as column math.
+"""CRS registry + reprojection as pure column math (no pyproj).
 
-The reference auto-reprojects the right table of a geojoin into the left
-CRS (``src/geoops/geojoin.jl:216-224``) via the Proj transform. We keep
-the CRS as a GeoTable property and implement the transforms the engine
-needs as pure column expressions (JVM, codegen'd — no pyproj dependency):
+The reference accepts any CoordRefSystems.jl CRS including ``EPSG{...}``
+and ``ESRI{...}`` codes (``src/georef.jl:185-188``) and auto-reprojects
+the right table of a geojoin into the left CRS
+(``src/geoops/geojoin.jl:216-224``). This module mirrors that surface
+for the projections a web-scale pipeline actually meets:
 
-- LatLon (EPSG:4326) ↔ WebMercator (EPSG:3857), spherical formulas
-- identity for matching CRS names
+- geographic lon/lat on WGS84 ("LatLon", EPSG:4326)
+- WebMercator (EPSG:3857 / 900913) — spherical, the web-tile standard
+- UTM zones (EPSG:326xx north / 327xx south, or "UTM:30N") — ellipsoidal
+  transverse Mercator via the 4th-order Krüger series (~mm accuracy)
+- Lambert conformal conic 2SP (EPSG:2154 Lambert-93, EPSG:3034 ETRS89
+  Europe, ESRI:102004 USA contiguous, or "LCC:lat1,lat2,lat0,lon0,fe,fn")
 
-Anything else raises — plug additional CRS pairs into ``_TRANSFORMS``.
+Every transform is a composition of codegen-friendly Spark column
+expressions (trig/log/exp/sqrt) — reprojection of 10^12 points is a
+map-only stage with zero Python. All geographic CRS are treated as
+WGS84-equivalent (RGF93/ETRS89 differ by centimeters; datum shifts are
+out of scope, as in the reference's default pipelines).
+
+Routing is hub-and-spoke through lon/lat: src.to_ll ∘ dst.from_ll, so
+n registered projections give n² pairs for 2n closed forms.
 """
 
 from __future__ import annotations
 
 import math
+import re
+from dataclasses import dataclass
+from typing import Callable
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -21,46 +36,311 @@ from pyspark.sql import functions as F
 from geotables_jl_spark.core.geotable import GEOM, GeoTable
 from geotables_jl_spark.geom.model import st_point
 
-R = 6378137.0  # WGS84 spherical radius used by WebMercator
+# WGS84 / GRS80 (identical to double precision for flattening purposes)
+A_WGS84 = 6378137.0
+F_WGS84 = 1.0 / 298.257223563
+E2 = F_WGS84 * (2.0 - F_WGS84)
+E1 = math.sqrt(E2)
+R_SPHERE = 6378137.0  # WebMercator sphere radius
+
+XY = tuple[Column, Column]
 
 
-def _latlon_to_webmercator(x: Column, y: Column) -> tuple[Column, Column]:
-    # x = lon, y = lat (degrees)
-    mx = x * F.lit(R * math.pi / 180.0)
-    my = F.log(F.tan(F.lit(math.pi / 4.0) + F.radians(y) / F.lit(2.0))) * F.lit(R)
+# ---------------------------------------------------------------------------
+# WebMercator (spherical, EPSG:3857)
+
+
+def _wm_from_ll(lon: Column, lat: Column) -> XY:
+    mx = lon * F.lit(R_SPHERE * math.pi / 180.0)
+    my = F.log(F.tan(F.lit(math.pi / 4.0) + F.radians(lat) / F.lit(2.0))) * F.lit(R_SPHERE)
     return mx, my
 
 
-def _webmercator_to_latlon(x: Column, y: Column) -> tuple[Column, Column]:
-    lon = x / F.lit(R * math.pi / 180.0)
-    lat = F.degrees(F.atan(F.sinh(y / F.lit(R))))
+def _wm_to_ll(x: Column, y: Column) -> XY:
+    lon = x / F.lit(R_SPHERE * math.pi / 180.0)
+    lat = F.degrees(F.atan(F.sinh(y / F.lit(R_SPHERE))))
     return lon, lat
 
 
-_TRANSFORMS = {
-    ("LatLon", "WebMercator"): _latlon_to_webmercator,
-    ("WebMercator", "LatLon"): _webmercator_to_latlon,
+# ---------------------------------------------------------------------------
+# shared ellipsoidal helpers
+
+
+def _conformal_t(lat_rad: Column) -> Column:
+    """t(φ) = tan(π/4 − φ/2) / [(1 − e sinφ)/(1 + e sinφ)]^{e/2}
+    (EPSG guidance note 7-2, LCC/PS family)."""
+    s = F.sin(lat_rad)
+    return F.tan(F.lit(math.pi / 4.0) - lat_rad / F.lit(2.0)) / F.pow(
+        (F.lit(1.0) - F.lit(E1) * s) / (F.lit(1.0) + F.lit(E1) * s), F.lit(E1 / 2.0)
+    )
+
+
+def _inv_conformal_lat(chi: Column) -> Column:
+    """φ from the conformal latitude χ — standard trig series in e²
+    (accuracy ~1e-10 rad for WGS84), no iteration: deterministic and
+    identical when re-expressed in any IEEE SQL engine."""
+    e2, e4, e6, e8 = E2, E2**2, E2**3, E2**4
+    c2 = e2 / 2.0 + 5.0 * e4 / 24.0 + e6 / 12.0 + 13.0 * e8 / 360.0
+    c4 = 7.0 * e4 / 48.0 + 29.0 * e6 / 240.0 + 811.0 * e8 / 11520.0
+    c6 = 7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0
+    c8 = 4279.0 * e8 / 161280.0
+    return (
+        chi
+        + F.lit(c2) * F.sin(F.lit(2.0) * chi)
+        + F.lit(c4) * F.sin(F.lit(4.0) * chi)
+        + F.lit(c6) * F.sin(F.lit(6.0) * chi)
+        + F.lit(c8) * F.sin(F.lit(8.0) * chi)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Transverse Mercator (UTM), 4th-order Krüger series (Karney 2011 form)
+
+_N3 = F_WGS84 / (2.0 - F_WGS84)  # third flattening n
+_A_BAR = A_WGS84 / (1.0 + _N3) * (1.0 + _N3**2 / 4.0 + _N3**4 / 64.0)
+_ALPHA = [
+    _N3 / 2.0 - 2.0 * _N3**2 / 3.0 + 5.0 * _N3**3 / 16.0 + 41.0 * _N3**4 / 180.0,
+    13.0 * _N3**2 / 48.0 - 3.0 * _N3**3 / 5.0 + 557.0 * _N3**4 / 1440.0,
+    61.0 * _N3**3 / 240.0 - 103.0 * _N3**4 / 140.0,
+    49561.0 * _N3**4 / 161280.0,
+]
+_BETA = [
+    _N3 / 2.0 - 2.0 * _N3**2 / 3.0 + 37.0 * _N3**3 / 96.0 - _N3**4 / 360.0,
+    _N3**2 / 48.0 + _N3**3 / 15.0 - 437.0 * _N3**4 / 1440.0,
+    17.0 * _N3**3 / 480.0 - 37.0 * _N3**4 / 840.0,
+    4397.0 * _N3**4 / 161280.0,
+]
+
+
+def _tm_forward(lon: Column, lat: Column, lon0: float, k0: float, fe: float, fn: float) -> XY:
+    phi = F.radians(lat)
+    lam = F.radians(lon - F.lit(lon0))
+    s = F.sin(phi)
+    # conformal latitude via tan: τ' = sinh(asinh(tanφ) − e·atanh(e·sinφ))
+    t = F.sinh(F.asinh(F.tan(phi)) - F.lit(E1) * F.atanh(F.lit(E1) * s))
+    xi_p = F.atan2(t, F.cos(lam))
+    eta_p = F.asinh(F.sin(lam) / F.sqrt(t * t + F.pow(F.cos(lam), F.lit(2.0))))
+    xi, eta = xi_p, eta_p
+    for j, a in enumerate(_ALPHA, start=1):
+        xi = xi + F.lit(a) * F.sin(F.lit(2.0 * j) * xi_p) * F.cosh(F.lit(2.0 * j) * eta_p)
+        eta = eta + F.lit(a) * F.cos(F.lit(2.0 * j) * xi_p) * F.sinh(F.lit(2.0 * j) * eta_p)
+    return F.lit(fe) + F.lit(k0 * _A_BAR) * eta, F.lit(fn) + F.lit(k0 * _A_BAR) * xi
+
+
+def _tm_inverse(x: Column, y: Column, lon0: float, k0: float, fe: float, fn: float) -> XY:
+    xi = (y - F.lit(fn)) / F.lit(k0 * _A_BAR)
+    eta = (x - F.lit(fe)) / F.lit(k0 * _A_BAR)
+    xi_p, eta_p = xi, eta
+    for j, b in enumerate(_BETA, start=1):
+        xi_p = xi_p - F.lit(b) * F.sin(F.lit(2.0 * j) * xi) * F.cosh(F.lit(2.0 * j) * eta)
+        eta_p = eta_p - F.lit(b) * F.cos(F.lit(2.0 * j) * xi) * F.sinh(F.lit(2.0 * j) * eta)
+    # τ' → conformal latitude χ, then the closed series back to φ
+    chi = F.atan2(F.sin(xi_p), F.sqrt(F.pow(F.sinh(eta_p), F.lit(2.0)) + F.pow(F.cos(xi_p), F.lit(2.0))))
+    lam = F.atan2(F.sinh(eta_p), F.cos(xi_p))
+    lat = F.degrees(_inv_conformal_lat(chi))
+    lon = F.degrees(lam) + F.lit(lon0)
+    return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# Lambert conformal conic 2SP (EPSG method 9802)
+
+
+@dataclass(frozen=True)
+class LCCParams:
+    lat1: float
+    lat2: float
+    lat0: float
+    lon0: float
+    fe: float
+    fn: float
+
+    def constants(self) -> tuple[float, float, float]:
+        def m(phi: float) -> float:
+            return math.cos(phi) / math.sqrt(1.0 - E2 * math.sin(phi) ** 2)
+
+        def t(phi: float) -> float:
+            s = math.sin(phi)
+            return math.tan(math.pi / 4.0 - phi / 2.0) / (
+                (1.0 - E1 * s) / (1.0 + E1 * s)
+            ) ** (E1 / 2.0)
+
+        p1, p2, p0 = map(math.radians, (self.lat1, self.lat2, self.lat0))
+        if abs(p1 - p2) < 1e-12:
+            n = math.sin(p1)
+        else:
+            n = (math.log(m(p1)) - math.log(m(p2))) / (math.log(t(p1)) - math.log(t(p2)))
+        big_f = m(p1) / (n * t(p1) ** n)
+        rho0 = A_WGS84 * big_f * t(p0) ** n
+        return n, big_f, rho0
+
+
+def _lcc_forward(lon: Column, lat: Column, p: LCCParams) -> XY:
+    n, big_f, rho0 = p.constants()
+    t = _conformal_t(F.radians(lat))
+    rho = F.lit(A_WGS84 * big_f) * F.pow(t, F.lit(n))
+    theta = F.lit(n) * F.radians(lon - F.lit(p.lon0))
+    return F.lit(p.fe) + rho * F.sin(theta), F.lit(p.fn) + rho0 - rho * F.cos(theta)
+
+
+def _lcc_inverse(x: Column, y: Column, p: LCCParams) -> XY:
+    n, big_f, rho0 = p.constants()
+    dx = x - F.lit(p.fe)
+    dy = F.lit(rho0) - (y - F.lit(p.fn))
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = F.lit(sgn) * F.sqrt(dx * dx + dy * dy)
+    t = F.pow(rho / F.lit(A_WGS84 * big_f), F.lit(1.0 / n))
+    theta = F.atan2(F.lit(sgn) * dx, F.lit(sgn) * dy)
+    chi = F.lit(math.pi / 2.0) - F.lit(2.0) * F.atan(t)
+    lat = F.degrees(_inv_conformal_lat(chi))
+    lon = F.degrees(theta / F.lit(n)) + F.lit(p.lon0)
+    return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+@dataclass(frozen=True)
+class CRSDef:
+    """A named CRS with closed-form column transforms to/from lon-lat
+    (the hub). ``to_ll``/``from_ll`` are None for non-geodetic systems
+    ("Cartesian"), which only reproject to themselves."""
+
+    name: str
+    to_ll: Callable[[Column, Column], XY] | None
+    from_ll: Callable[[Column, Column], XY] | None
+    # axis order of the stored (x, y) columns when geographic
+    geographic: bool = False
+
+
+def _latlon_def() -> CRSDef:
+    # stored as x=lon? NO — geotable points built by georef(coords=[lat,lon])
+    # store x=lat? see core/geotable.py; geometry x/y are (first, second)
+    # coordinate columns. For LatLon the engine stores x=lon? The round-1
+    # convention (webpages/geojoin fixtures) is x=lon, y=lat? Checked:
+    # georef(coords=["lat","lon"]) builds st_point(lon, lat) — x=lon.
+    return CRSDef("LatLon", to_ll=lambda x, y: (x, y), from_ll=lambda lon, lat: (lon, lat), geographic=True)
+
+
+_FIXED: dict[str, CRSDef] = {
+    "latlon": _latlon_def(),
+    "cartesian": CRSDef("Cartesian", None, None),
+    "webmercator": CRSDef("WebMercator", _wm_to_ll, _wm_from_ll),
+}
+
+_EPSG_FIXED = {
+    4326: "latlon",
+    4258: "latlon",  # ETRS89 geographic (WGS84-equivalent here)
+    3857: "webmercator",
+    900913: "webmercator",
+    3785: "webmercator",
+}
+
+# LCC instances: EPSG:2154 Lambert-93 (RGF93), EPSG:3034 ETRS89-LCC Europe,
+# ESRI:102004 USA contiguous Lambert (parameters are public registry values)
+_LCC_CODES: dict[str, LCCParams] = {
+    "epsg:2154": LCCParams(49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0),
+    "epsg:3034": LCCParams(35.0, 65.0, 52.0, 10.0, 4000000.0, 2800000.0),
+    "esri:102004": LCCParams(33.0, 45.0, 39.0, -96.0, 0.0, 0.0),
 }
 
 
-def reproject(gtb: GeoTable, target_crs: str) -> GeoTable:
-    """Reproject a point-geometry GeoTable into ``target_crs``.
+def _utm_def(zone: int, north: bool) -> CRSDef:
+    if not 1 <= zone <= 60:
+        raise ValueError(f"UTM zone out of range: {zone}")
+    lon0 = -183.0 + 6.0 * zone
+    k0, fe, fn = 0.9996, 500000.0, 0.0 if north else 10000000.0
+    tag = f"UTM:{zone}{'N' if north else 'S'}"
+    return CRSDef(
+        tag,
+        to_ll=lambda x, y: _tm_inverse(x, y, lon0, k0, fe, fn),
+        from_ll=lambda lon, lat: _tm_forward(lon, lat, lon0, k0, fe, fn),
+    )
 
-    Polygon reprojection (vertex-wise ``F.transform`` over rings) is
-    supported for the same CRS pairs.
-    """
-    if gtb.crs == target_crs:
-        return gtb
-    key = (gtb.crs, target_crs)
-    if key not in _TRANSFORMS:
-        raise ValueError(f"no CRS transform registered for {key}")
-    fn = _TRANSFORMS[key]
+
+def _lcc_def(name: str, p: LCCParams) -> CRSDef:
+    return CRSDef(
+        name,
+        to_ll=lambda x, y: _lcc_inverse(x, y, p),
+        from_ll=lambda lon, lat: _lcc_forward(lon, lat, p),
+    )
+
+
+def parse_crs(spec: str) -> CRSDef:
+    """Resolve a CRS spec to its definition. Accepts canonical names
+    ("LatLon", "WebMercator", "Cartesian", "UTM:30N"), authority codes
+    ("EPSG:4326", "EPSG:32630", "EPSG:2154", "ESRI:102004", also the
+    reference's ``EPSG{4326}`` spelling), and parametric LCC
+    ("LCC:lat1,lat2,lat0,lon0,fe,fn")."""
+    s = str(spec).strip()
+    key = s.lower().replace("{", ":").rstrip("}")
+    if key in _FIXED:
+        return _FIXED[key]
+    m = re.fullmatch(r"utm:(\d{1,2})([ns])", key)
+    if m:
+        return _utm_def(int(m.group(1)), m.group(2) == "n")
+    if key in _LCC_CODES:
+        canonical = key.upper().replace("EPSG:", "EPSG:").replace("ESRI:", "ESRI:")
+        return _lcc_def(canonical, _LCC_CODES[key])
+    m = re.fullmatch(r"lcc:([-+e\d.,]+)", key)
+    if m:
+        vals = [float(v) for v in m.group(1).split(",")]
+        if len(vals) != 6:
+            raise ValueError(f"LCC spec needs 6 params lat1,lat2,lat0,lon0,fe,fn: {spec}")
+        return _lcc_def("LCC:" + ",".join(f"{v:.10g}" for v in vals), LCCParams(*vals))
+    m = re.fullmatch(r"epsg:(\d+)", key)
+    if m:
+        code = int(m.group(1))
+        if code in _EPSG_FIXED:
+            return _FIXED[_EPSG_FIXED[code]]
+        if 32601 <= code <= 32660:
+            return _utm_def(code - 32600, True)
+        if 32701 <= code <= 32760:
+            return _utm_def(code - 32700, False)
+        raise ValueError(f"unregistered EPSG code: {code}")
+    raise ValueError(f"unrecognized CRS spec: {spec!r}")
+
+
+def canonical_crs(spec: str) -> str:
+    """Canonical name for a spec — 'EPSG:4326' and 'LatLon' compare equal."""
+    return parse_crs(spec).name
+
+
+# ---------------------------------------------------------------------------
+# reprojection
+
+
+def _point_xy_transform(src: CRSDef, dst: CRSDef) -> Callable[[Column, Column], XY]:
+    if src.name == dst.name:
+        return lambda x, y: (x, y)
+    if src.to_ll is None or dst.from_ll is None:
+        raise ValueError(f"no CRS transform registered for ({src.name}, {dst.name})")
+
+    def fn(x: Column, y: Column) -> XY:
+        lon, lat = src.to_ll(x, y)
+        return dst.from_ll(lon, lat)
+
+    return fn
+
+
+def reproject(gtb: GeoTable, target_crs: str) -> GeoTable:
+    """Reproject a GeoTable into ``target_crs`` (any registered spec).
+    Point geometries transform exactly; polygon rings vertex-wise via
+    higher-order array functions — all JVM column math, map-only."""
+    src = parse_crs(gtb.crs)
+    dst = parse_crs(target_crs)
+    if src.name == dst.name:
+        if gtb.crs == dst.name:
+            return gtb
+        return GeoTable(df=gtb.df, crs=dst.name, lenunit=gtb.lenunit, grid=gtb.grid, units=dict(gtb.units))
+    fn = _point_xy_transform(src, dst)
     g = F.col(GEOM)
     nx, ny = fn(g["x"], g["y"])
-    # v1: points reproject exactly; polygons via vertex-wise map on rings
     new_point = st_point(nx, ny)
     is_point = g["kind"] == 1
-    # ring vertices: pairs (x,y) flat — transform with index-parity trick
+
+    # ring vertices are flat (x0,y0,x1,y1,...) — rebuild with index parity
     def _ring_map(ring: Column) -> Column:
         n = F.size(ring)
         idx = F.sequence(F.lit(0), n - 1)
@@ -85,4 +365,4 @@ def reproject(gtb: GeoTable, target_crs: str) -> GeoTable:
         F.array_max(ys).alias("ymax"),
     )
     out = gtb.df.withColumn(GEOM, F.when(is_point, new_point).otherwise(new_poly))
-    return GeoTable(df=out, crs=target_crs, lenunit=gtb.lenunit, grid=gtb.grid, units=dict(gtb.units))
+    return GeoTable(df=out, crs=dst.name, lenunit=gtb.lenunit, grid=gtb.grid, units=dict(gtb.units))

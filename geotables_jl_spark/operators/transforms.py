@@ -169,6 +169,30 @@ def zscore(gtb: GeoTable, *cols: str) -> GeoTable:
     return gtb._with(df)
 
 
+def interquartile(gtb: GeoTable, *cols: str, exact: bool = True) -> GeoTable:
+    """Interquartile rescaler (reference ``test/feature.jl:26``;
+    TableTransforms ``Interquartile() = Scale(low=0.25, high=0.75)``):
+    x → (x − q25) / (q75 − q25). One global quantile aggregate folded
+    back as literals — same scale shape as minmax/zscore. ``exact=True``
+    uses the exact interpolated percentile (oracle parity);
+    ``exact=False`` the one-pass mergeable sketch for 100 TB inputs."""
+    pct = "percentile" if exact else "approx_percentile"
+    s = _stats(
+        gtb.df,
+        list(cols),
+        {
+            "q1": lambda c: F.expr(f"{pct}(`{c}`, 0.25)"),
+            "q3": lambda c: F.expr(f"{pct}(`{c}`, 0.75)"),
+        },
+    )
+    df = gtb.df
+    for c in cols:
+        q1, q3 = s[f"q1_{c}"], s[f"q3_{c}"]
+        span = (q3 - q1) or 1.0
+        df = df.withColumn(c, (F.col(c) - F.lit(q1)) / F.lit(span))
+    return gtb._with(df)
+
+
 def quantile_transform(gtb: GeoTable, col: str, nbins: int = 100) -> GeoTable:
     """Quantile: exact percent_rank, computed DISTRIBUTED (range-bucket
     rank, ``operators/ranking.py``) — never a global unpartitioned
