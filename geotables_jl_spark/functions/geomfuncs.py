@@ -39,9 +39,8 @@ def _vertex(ring: Column, i: Column) -> tuple[Column, Column]:
     return F.element_at(ring, i * 2 + 1), F.element_at(ring, i * 2 + 2)
 
 
-def _shoelace_terms(g: Column) -> Column:
-    """array of per-edge cross terms x_i*y_{i+1} - x_{i+1}*y_i (closed ring)."""
-    ring = _ring(g)
+def _ring_sum(ring: Column, term_of) -> Column:
+    """Σ over the closed edges of one flat ring of ``term_of(x1,y1,x2,y2)``."""
     n = (F.size(ring) / 2).cast("int")
     idx = F.sequence(F.lit(0), n - 1)
 
@@ -49,42 +48,42 @@ def _shoelace_terms(g: Column) -> Column:
         x1, y1 = _vertex(ring, i)
         j = (i + 1) % n
         x2, y2 = _vertex(ring, j)
-        return x1 * y2 - x2 * y1
+        return term_of(x1, y1, x2, y2)
 
-    return F.transform(idx, term)
+    return F.aggregate(F.transform(idx, term), F.lit(0.0), lambda acc, t: acc + t)
+
+
+def _all_rings_sum(g: Column, term_of) -> Column:
+    """Signed Σ of a shoelace-style edge term over ALL rings. With the
+    builder orientation convention (outer CCW, holes CW —
+    ``geom/model._oriented``) the hole contribution subtracts, so
+    area/centroid are hole-exact without any branching."""
+    per_ring = F.transform(g["rings"], lambda ring: _ring_sum(ring, term_of))
+    return F.aggregate(per_ring, F.lit(0.0), lambda acc, t: acc + t)
 
 
 def st_area(g: Column) -> Column:
-    """Unsigned polygon area (shoelace); 0.0 for points."""
+    """Unsigned polygon area (shoelace over all rings: holes subtract);
+    0.0 for points."""
     poly_area = F.abs(
-        F.aggregate(_shoelace_terms(g), F.lit(0.0), lambda acc, t: acc + t)
+        _all_rings_sum(g, lambda x1, y1, x2, y2: x1 * y2 - x2 * y1)
     ) / F.lit(2.0)
     return F.when(g["kind"] == 1, F.lit(0.0)).otherwise(poly_area)
 
 
 def st_centroid(g: Column) -> Column:
     """Centroid geometry: identity for points; exact area centroid for
-    polygons (falls back to vertex mean for degenerate zero-area rings)."""
+    polygons incl. holes/multi parts (falls back to the outer-ring vertex
+    mean for degenerate zero-area rings)."""
+    a2 = _all_rings_sum(g, lambda x1, y1, x2, y2: x1 * y2 - x2 * y1)  # 2A signed
+    cx = _all_rings_sum(
+        g, lambda x1, y1, x2, y2: (x1 + x2) * (x1 * y2 - x2 * y1)
+    ) / (F.lit(3.0) * a2)
+    cy = _all_rings_sum(
+        g, lambda x1, y1, x2, y2: (y1 + y2) * (x1 * y2 - x2 * y1)
+    ) / (F.lit(3.0) * a2)
+    # degenerate ring: vertex mean of the outer ring
     ring = _ring(g)
-    n = (F.size(ring) / 2).cast("int")
-    idx = F.sequence(F.lit(0), n - 1)
-
-    def cx_term(i: Column) -> Column:
-        x1, y1 = _vertex(ring, i)
-        j = (i + 1) % n
-        x2, y2 = _vertex(ring, j)
-        return (x1 + x2) * (x1 * y2 - x2 * y1)
-
-    def cy_term(i: Column) -> Column:
-        x1, y1 = _vertex(ring, i)
-        j = (i + 1) % n
-        x2, y2 = _vertex(ring, j)
-        return (y1 + y2) * (x1 * y2 - x2 * y1)
-
-    a2 = F.aggregate(_shoelace_terms(g), F.lit(0.0), lambda acc, t: acc + t)  # 2A signed
-    cx = F.aggregate(F.transform(idx, cx_term), F.lit(0.0), lambda acc, t: acc + t) / (F.lit(3.0) * a2)
-    cy = F.aggregate(F.transform(idx, cy_term), F.lit(0.0), lambda acc, t: acc + t) / (F.lit(3.0) * a2)
-    # degenerate ring: vertex mean
     xs = F.filter(ring, lambda v, i: i % 2 == 0)
     ys = F.filter(ring, lambda v, i: i % 2 == 1)
     mx = F.aggregate(xs, F.lit(0.0), lambda a, v: a + v) / F.size(xs)

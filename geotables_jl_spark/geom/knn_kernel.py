@@ -130,14 +130,27 @@ def _topk_tie_exact(d: np.ndarray, kk: int):
     part = np.take_along_axis(part, o2, axis=1)
     dp = np.take_along_axis(dp, o2, axis=1)
     # boundary-tie check: an excluded element equal to the kth distance
-    # could have a smaller pos (rid) than an included tie
+    # could have a smaller pos (rid) than an included tie. Resolve by
+    # sorting ONLY the ≤-kth candidates of each affected row (kk + tie
+    # group, typically a handful) — a full-row argsort here was the
+    # dominant cost on lattice-like data where exact ties are pervasive.
     kth = dp[:, kk - 1]
     n_le = (d <= kth[:, None]).sum(axis=1)
     bad = np.nonzero(n_le > kk)[0]
-    if len(bad):
+    if len(bad) and m <= max(8 * kk, 512):
+        # narrow rows (padded neighborhood path): vectorized full sort of
+        # the affected rows is cheaper than any per-row bookkeeping
         full = np.argsort(d[bad], axis=1, kind="stable")[:, :kk]
         part[bad] = full
         dp[bad] = np.take_along_axis(d[bad], full, axis=1)
+    else:
+        for r in bad:
+            dr = d[r]
+            cand = np.nonzero(dr <= kth[r])[0]  # position-ascending
+            o = np.argsort(dr[cand], kind="stable")[:kk]  # stable ⇒ pos order in ties
+            sel = cand[o]
+            part[r] = sel
+            dp[r] = dr[sel]
     return part, dp
 
 
@@ -232,6 +245,14 @@ def score_batch(
 # skip the indexed retry and brute-force the (tiny) tail directly
 _ESCALATE_MAX_ENTRIES = 30_000_000
 
+# below this many (bad_rows × n2) distance evals, brute-force beats the
+# indexed retry outright: with round-1 sizing ~99.9% certify, so a batch
+# has ~0.1% bad rows and building a (2·3r+1)²-entry neighbor index (a
+# multi-second lexsort per worker at n2=100k) would dominate the whole
+# job — measured 0.3 s warm vs 10 s cold per batch, i.e. the index build
+# WAS the round-2 kNN regression before this gate existed
+_BRUTE_DIRECT_MAX = 64_000_000
+
 
 def _ragged_arange(lens: np.ndarray) -> np.ndarray:
     ends = np.cumsum(lens)
@@ -322,7 +343,10 @@ def score_batch_exact(
     sub_lens = np.zeros(len(bad), np.int64)
     sub_kth = np.full(len(bad), np.nan)
     r2 = radius * 3
-    tried_escalate = n2 * (2 * r2 + 1) ** 2 <= _ESCALATE_MAX_ENTRIES
+    tried_escalate = (
+        len(bad) * n2 > _BRUTE_DIRECT_MAX
+        and n2 * (2 * r2 + 1) ** 2 <= _ESCALATE_MAX_ENTRIES
+    )
     still = np.arange(len(bad))
     if tried_escalate:
         c2, o2, rv2, dv2 = score_batch(

@@ -77,15 +77,42 @@ def _ring_envelope(flat: list[float]) -> tuple[float, float, float, float]:
     return min(xs), min(ys), max(xs), max(ys)
 
 
-def st_polygon_lit(vertices: list[tuple[float, float]]) -> Column:
-    """Literal polygon geometry from driver-side vertex list (outer ring)."""
-    flat = [float(c) for xy in vertices for c in xy]
+def _signed_area(flat: list[float]) -> float:
+    xs = flat[0::2]
+    ys = flat[1::2]
+    n = len(xs)
+    return sum(xs[i] * ys[(i + 1) % n] - xs[(i + 1) % n] * ys[i] for i in range(n)) / 2.0
+
+
+def _oriented(flat: list[float], ccw: bool) -> list[float]:
+    """Normalize ring orientation: outer rings CCW, holes CW — the
+    convention that lets Multi (kind=5) flattened rings keep their
+    outer/hole identity by orientation alone (``geom/kernel.split_rings``)."""
+    if (_signed_area(flat) >= 0.0) == ccw:
+        return flat
+    pairs = list(zip(flat[0::2], flat[1::2]))[::-1]
+    return [c for xy in pairs for c in xy]
+
+
+def st_polygon_lit(
+    vertices: list[tuple[float, float]],
+    holes: list[list[tuple[float, float]]] | None = None,
+) -> Column:
+    """Literal polygon geometry from driver-side vertex lists: outer ring
+    + optional holes (reference ``PolyArea(outer, holes...)`` with inner
+    rings). rings[0] = outer (normalized CCW), rings[1:] = holes
+    (normalized CW); envelope from the outer ring."""
+    flat = _oriented([float(c) for xy in vertices for c in xy], ccw=True)
     xmin, ymin, xmax, ymax = _ring_envelope(flat)
+    ring_cols = [F.array(*[F.lit(v) for v in flat])]
+    for h in holes or []:
+        hf = _oriented([float(c) for xy in h for c in xy], ccw=False)
+        ring_cols.append(F.array(*[F.lit(v) for v in hf]))
     return F.struct(
         F.lit(KIND_POLYGON).alias("kind"),
         F.lit(None).cast(_D).alias("x"),
         F.lit(None).cast(_D).alias("y"),
-        F.array(F.array(*[F.lit(v) for v in flat])).alias("rings"),
+        F.array(*ring_cols).alias("rings"),
         F.lit(xmin).alias("xmin"),
         F.lit(ymin).alias("ymin"),
         F.lit(xmax).alias("xmax"),
@@ -118,19 +145,25 @@ def st_box(xmin: Column | float, ymin: Column | float, xmax: Column | float, yma
     )
 
 
-def geom_rows_from_polygons(polys: list[list[tuple[float, float]]]) -> list[dict]:
-    """Driver-side helper: polygon vertex lists -> geometry dicts for
-    ``spark.createDataFrame`` test fixtures."""
+def geom_rows_from_polygons(
+    polys: list[list[tuple[float, float]]],
+    holes: list[list[list[tuple[float, float]]]] | None = None,
+) -> list[dict]:
+    """Driver-side helper: polygon vertex lists (+ optional per-polygon
+    hole lists) -> geometry dicts for ``spark.createDataFrame`` fixtures."""
     rows = []
-    for verts in polys:
-        flat = [float(c) for xy in verts for c in xy]
+    for pi, verts in enumerate(polys):
+        flat = _oriented([float(c) for xy in verts for c in xy], ccw=True)
         xmin, ymin, xmax, ymax = _ring_envelope(flat)
+        rings = [flat]
+        for h in (holes[pi] if holes else []) or []:
+            rings.append(_oriented([float(c) for xy in h for c in xy], ccw=False))
         rows.append(
             {
                 "kind": KIND_POLYGON,
                 "x": None,
                 "y": None,
-                "rings": [flat],
+                "rings": rings,
                 "xmin": xmin,
                 "ymin": ymin,
                 "xmax": xmax,

@@ -56,8 +56,7 @@ def refine_mask(
     return _refine(lkind, lx, ly, lrings, lid, rkind, rx, ry, rrings, rid, pred)
 
 
-def _ring(rings_obj) -> np.ndarray:
-    return np.asarray(rings_obj[0], dtype=np.float64)
+_POLY_KINDS = (3, 5)  # polygon family: PolyArea (holes = rings[1:]) / Multi
 
 
 def _refine(lkind, lx, ly, lrings, lid, rkind, rx, ry, rrings, rid, pred) -> np.ndarray:
@@ -69,8 +68,8 @@ def _refine(lkind, lx, ly, lrings, lid, rkind, rx, ry, rrings, rid, pred) -> np.
         ii = np.flatnonzero(pt_pt)
         out[ii] = (np.abs(lx[ii] - rx[ii]) <= EPS) & (np.abs(ly[ii] - ry[ii]) <= EPS)
 
-    # point-left vs polygon-right: vectorize per distinct right polygon
-    pt_poly = (lkind == 1) & (rkind == 3)
+    # point-left vs polygon-family right: vectorize per distinct right geom
+    pt_poly = (lkind == 1) & np.isin(rkind, _POLY_KINDS)
     if pt_poly.any():
         idx = np.flatnonzero(pt_poly)
         order = idx[np.argsort(rid[idx], kind="stable")]
@@ -81,13 +80,14 @@ def _refine(lkind, lx, ly, lrings, lid, rkind, rx, ry, rrings, rid, pred) -> np.
             while end < len(order) and rid[order[end]] == g:
                 end += 1
             ii = order[start:end]
-            ring = _ring(rrings[ii[0]])
             # point vs polygon: intersects == within (boundary-inclusive)
-            out[ii] = kernel.points_in_ring(lx[ii], ly[ii], ring)
+            out[ii] = kernel.points_in_poly(
+                lx[ii], ly[ii], rrings[ii[0]], int(rkind[ii[0]])
+            )
             start = end
 
-    # polygon-left vs point-right: vectorize per distinct left polygon
-    poly_pt = (lkind == 3) & (rkind == 1)
+    # polygon-family left vs point-right: vectorize per distinct left geom
+    poly_pt = np.isin(lkind, _POLY_KINDS) & (rkind == 1)
     if poly_pt.any():
         idx = np.flatnonzero(poly_pt)
         order = idx[np.argsort(lid[idx], kind="stable")]
@@ -101,17 +101,59 @@ def _refine(lkind, lx, ly, lrings, lid, rkind, rx, ry, rrings, rid, pred) -> np.
             if pred == "within":
                 out[ii] = False  # a polygon is never ⊆ a point
             else:
-                ring = _ring(lrings[ii[0]])
-                out[ii] = kernel.points_in_ring(rx[ii], ry[ii], ring)
+                out[ii] = kernel.points_in_poly(
+                    rx[ii], ry[ii], lrings[ii[0]], int(lkind[ii[0]])
+                )
             start = end
 
-    poly_poly = (lkind == 3) & (rkind == 3)
+    poly_poly = np.isin(lkind, _POLY_KINDS) & np.isin(rkind, _POLY_KINDS)
     if poly_poly.any():
         for i in np.flatnonzero(poly_poly):
-            ra = _ring(lrings[i])
-            rb = _ring(rrings[i])
             if pred == "intersects":
-                out[i] = kernel.polygon_intersects_polygon(ra, rb)
+                out[i] = kernel.poly_intersects_poly(
+                    lrings[i], int(lkind[i]), rrings[i], int(rkind[i])
+                )
             else:
-                out[i] = kernel.polygon_within_polygon(ra, rb)
+                out[i] = kernel.poly_within_poly(
+                    lrings[i], int(lkind[i]), rrings[i], int(rkind[i])
+                )
+
+    # multipoint (kind 4): rings[0] is one flat [x0,y0,x1,y1,...] list
+    mp_l = lkind == 4
+    mp_r = rkind == 4
+    if mp_l.any() or mp_r.any():
+        for i in np.flatnonzero(mp_l | mp_r):
+            out[i] = _multipoint_pair(
+                int(lkind[i]), lx[i], ly[i], lrings[i],
+                int(rkind[i]), rx[i], ry[i], rrings[i], pred,
+            )
     return out
+
+
+def _multipoint_pair(lk, lx, ly, lr, rk, rx, ry, rr, pred) -> bool:
+    """Pairs where either side is a multipoint. intersects = any member
+    point matches; within(A⊆B) = every member of A matches B."""
+
+    def pts(kind, x, y, rings):
+        if kind == 1:
+            return np.array([x]), np.array([y])
+        flat = np.asarray(rings[0], dtype=np.float64)
+        return flat[0::2], flat[1::2]
+
+    if lk == 4 and rk in _POLY_KINDS:
+        px, py = pts(lk, lx, ly, lr)
+        hits = kernel.points_in_poly(px, py, rr, rk)
+        return bool(hits.all() if pred == "within" else hits.any())
+    if rk == 4 and lk in _POLY_KINDS:
+        if pred == "within":
+            return False  # a polygon is never ⊆ a finite point set
+        px, py = pts(rk, rx, ry, rr)
+        return bool(kernel.points_in_poly(px, py, lr, lk).any())
+    # point/multipoint vs multipoint: coincidence matching
+    ax, ay = pts(lk, lx, ly, lr)
+    bx, by = pts(rk, rx, ry, rr)
+    close = (np.abs(ax[:, None] - bx[None, :]) <= EPS) & (
+        np.abs(ay[:, None] - by[None, :]) <= EPS
+    )
+    # within: every member of A coincides with SOME member of B
+    return bool(close.any(axis=1).all() if pred == "within" else close.any())

@@ -77,17 +77,40 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_posting: int | None = None,
+    max_posting: int | None = 1000,
+    prefilter: str | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via inverted shingle index.
 
-    Plan: explode distinct shingles → (optional) drop shingles whose
-    posting list exceeds ``max_posting`` (stopword-like shingles explode
-    quadratically and contribute little discrimination) → self-equi-join
-    on shingle → count shared per pair → join per-doc totals →
-    ``jaccard = shared / (|A| + |B| - shared)`` — exact rational math.
-    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    Plan: explode distinct shingles → drop shingles whose posting list
+    exceeds ``max_posting`` (stopword-like shingles explode one join key
+    into |posting|² pairs — a single 100k-doc shingle is 10^10 pairs —
+    while contributing no discrimination) → self-equi-join on shingle →
+    count shared per pair → join per-doc totals → ``jaccard = shared /
+    (|A| + |B| - shared)`` — exact rational math. Output: (id_a, id_b,
+    jaccard) with id_a < id_b.
+
+    RECALL CONTRACT of the default ``max_posting=1000``: a pair is found
+    iff it shares ≥1 *kept* shingle; two docs similar ONLY through
+    ubiquitous (dropped) shingles are missed — at ``threshold ≥ 0.5``
+    such pairs share many shingles, so misses require a corpus where
+    >max_posting docs repeat the pair's whole shingle set (i.e. the pair
+    is part of a mass-duplicate cluster that exact dedup already
+    catches). Pass ``max_posting=None`` for literal exactness on small
+    corpora.
+
+    ``prefilter="minhash"``: generate candidates with banded MinHash-LSH
+    first and exact-verify only those — the 100 TB shape (LSH bounds
+    candidates by construction; this function then never builds the full
+    inverted-index self-join).
     """
+    if prefilter == "minhash":
+        # LSH candidates, exact jaccard verified inside minhash_lsh_pairs
+        return minhash_lsh_pairs(
+            df, id_col, text_col, threshold=threshold, shingle_n=n, verify=True
+        ).select("id_a", "id_b", "jaccard")
+    if prefilter is not None:
+        raise ValueError("prefilter must be None or 'minhash'")
     sh = _doc_shingles(df, id_col, text_col, n)
     if max_posting is not None:
         hot = sh.groupBy("__sh").count().filter(F.col("count") > max_posting).select("__sh")

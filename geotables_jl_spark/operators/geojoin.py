@@ -290,6 +290,16 @@ def refine(
     def _done(df: DataFrame) -> DataFrame:
         return df.drop("__lgeom", "__rgeom", *env_cols)
 
+    if callable(pred):
+        # arbitrary predicate (reference ``pred=(g1,g2)->Bool``,
+        # ``geojoin.jl:51-52``; tested ``test/operations.jl:51,60``):
+        # a Python callable (lgeom: pd.Series, rgeom: pd.Series) -> bool
+        # mask, evaluated in the SAME Arrow refinement stage as the named
+        # predicates. Contract: the candidate stage only generates
+        # envelope-overlapping pairs, so the callable must imply envelope
+        # overlap (true for containment/intersection-style predicates —
+        # non-local matching belongs in `on`/tablejoin).
+        return _refine_custom(pairs, pred, env_cols)
     if exact1 and exact2:
         if pred == "intersects":
             return _done(pairs)  # bbox overlap IS the predicate
@@ -339,6 +349,33 @@ def refine(
     exact = pairs.filter(pt_pt).filter(jvm_exact)
     refined = ambiguous.mapInPandas(_iter, schema=out_schema)
     return refined.unionByName(exact.select(*out_cols))
+
+
+def _refine_custom(pairs: DataFrame, pred_fn, env_cols: list[str]) -> DataFrame:
+    """Arrow pass for a user predicate callable. Geometry structs are
+    synthesized from envelopes for all-point sides (a point IS its
+    envelope), exactly like the named-predicate path."""
+    from geotables_jl_spark.geom.model import st_point
+
+    import numpy as np
+
+    if "__lgeom" not in pairs.columns:
+        pairs = pairs.withColumn("__lgeom", st_point(F.col("__lxmin"), F.col("__lymin")))
+    if "__rgeom" not in pairs.columns:
+        pairs = pairs.withColumn("__rgeom", st_point(F.col("__rxmin"), F.col("__rymin")))
+    drop_cols = {"__lgeom", "__rgeom", *env_cols}
+    out_fields = [f for f in pairs.schema.fields if f.name not in drop_cols]
+    out_schema = T.StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
+
+    def _iter(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mask = np.asarray(pred_fn(pdf["__lgeom"], pdf["__rgeom"]), dtype=bool)
+            yield pdf.loc[mask, out_cols]
+
+    return pairs.mapInPandas(_iter, schema=out_schema)
 
 
 def build_aggs(
@@ -411,6 +448,11 @@ def geojoin(
     """
     if kind not in ("left", "inner"):
         raise ValueError("kind must be 'left' or 'inner'")
+    if not callable(pred) and pred not in ("intersects", "within", "contains", "knn"):
+        raise ValueError(
+            "pred must be 'intersects'/'within'/'contains'/'knn' or a callable "
+            "(lgeom, rgeom) -> bool mask"
+        )
     on = list(on or [])
 
     # CRS alignment: reproject right into left CRS (geojoin.jl:216-224)
@@ -464,7 +506,8 @@ def geojoin(
                 salt = 1
         # plan-time pruning of what crosses the join: geometry structs ride
         # along only when the Arrow refinement will actually read them
-        env_only = (
+        # (a callable pred always reads real structs — never env-only)
+        env_only = not callable(pred) and (
             (exact1 and exact2)
             or (pred == "within" and exact2)
             or (pred == "contains" and exact1)

@@ -11,19 +11,30 @@ from pyspark.sql import functions as F
 from geotables_jl_spark.core.geotable import GEOM, ROW_ID, GeoTable
 
 
-def hcat(*gtbs: GeoTable) -> GeoTable:
+def hcat(*gtbs: GeoTable, validate: bool = True) -> GeoTable:
     """Column concat; requires identical domain (same row_id spine —
     reference errors on domain mismatch, ``dataframes.jl:140-144``).
     Duplicate names deduped with '_' suffix (``dataframes.jl:154-165``).
     Plan: joins on row_id — with equal domains this is a co-partitioned
-    equi-join; broadcast when a side is small."""
+    equi-join; broadcast when a side is small.
+
+    validate=True checks spine equality with one count per side (cheap:
+    counts equal + inner join preserves the count ⇒ identical id sets).
+    At 10^12 rows pass validate=False when the spines are equal by
+    construction (e.g. two transforms of one table) to skip the counts."""
     if not gtbs:
         raise ValueError("hcat of nothing")
     base = gtbs[0]
     out = base.df
     taken = set(out.columns)
+    n_base = out.count() if validate else None
     for g in gtbs[1:]:
         right = g.df.drop(GEOM)
+        if validate and g.df.count() != n_base:
+            raise ValueError(
+                "hcat: tables with different domains (row counts differ — "
+                "reference throws, src/api/dataframes.jl:140-144)"
+            )
         for c in right.columns:
             if c == ROW_ID:
                 continue
@@ -34,6 +45,12 @@ def hcat(*gtbs: GeoTable) -> GeoTable:
                 right = right.withColumnRenamed(c, new)
             taken.add(new)
         out = out.join(right, on=ROW_ID, how="inner")
+    if validate and len(gtbs) > 1 and out.count() != n_base:
+        # equal counts but different id sets: the inner join shrank
+        raise ValueError(
+            "hcat: tables with different domains (row_id spines disagree — "
+            "reference throws, src/api/dataframes.jl:140-144)"
+        )
     attrs = [c for c in out.columns if c not in (ROW_ID, GEOM)]
     return base._with(out.select(ROW_ID, *attrs, GEOM))
 

@@ -1,0 +1,90 @@
+"""Round-2 surface: arbitrary geojoin predicate callable
+(``src/geoops/geojoin.jl:51-52``, ``test/operations.jl:51-72``),
+ngram-jaccard hot-shingle posting cap, minhash prefilter composition,
+and hcat domain validation (``src/api/dataframes.jl:140-144``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geotables_jl_spark.core.geotable import GeoTable, georef
+from geotables_jl_spark.operators.dedup import ngram_jaccard_pairs
+from geotables_jl_spark.operators.geojoin import geojoin
+from geotables_jl_spark.operators.setops import hcat
+from tests.fixtures import gtb_points, gtb_polys
+
+
+def test_geojoin_custom_pred_issubset(spark):
+    """Reproduce the reference's ``pred=issubset`` geojoin
+    (``test/operations.jl:51-60``): custom callable evaluated in the
+    Arrow refinement stage must match the named 'within' predicate."""
+    from geotables_jl_spark.geom import kernel
+
+    polys = gtb_polys(spark)
+    pts = gtb_points(spark)
+
+    def issubset(lgeom, rgeom):
+        out = np.zeros(len(lgeom), dtype=bool)
+        for i, (gl, gr) in enumerate(zip(lgeom.to_numpy(), rgeom.to_numpy())):
+            if gl["kind"] == 1 and gr["kind"] in (3, 5):
+                out[i] = bool(
+                    kernel.points_in_poly(
+                        np.array([gl["x"]]), np.array([gl["y"]]), gr["rings"], gr["kind"]
+                    )[0]
+                )
+        return out
+
+    named = geojoin(pts, polys, aggs={"a": "mean"}, kind="left", pred="within")
+    custom = geojoin(pts, polys, aggs={"a": "mean"}, kind="left", pred=issubset)
+    a = {r["row_id"]: r["a"] for r in named.df.collect()}
+    b = {r["row_id"]: r["a"] for r in custom.df.collect()}
+    assert a == b and len(a) == 9
+
+    with pytest.raises(ValueError):
+        geojoin(pts, polys, pred="bogus")
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A stopword-like shingle shared by every doc must be dropped by the
+    default posting cap: docs similar ONLY through it produce no pair."""
+    hot = "the quick brown"  # one 3-shingle shared by all
+    rows = [(i, f"the quick brown unique{i} word{i} tail{i} x{i} y{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap below the posting size of the hot shingle
+    out = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.01, max_posting=10)
+    pairs = out.collect()
+    assert pairs == []  # hot shingle dropped, nothing else shared
+
+    # without the cap the hot shingle generates all 435 candidate pairs
+    out2 = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.01, max_posting=None)
+    assert out2.count() == 30 * 29 // 2
+
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(df, "doc_id", "text", prefilter="bogus")
+
+
+def test_ngram_jaccard_minhash_prefilter(spark):
+    """prefilter='minhash' composes LSH candidates → exact verify; on a
+    corpus with one true near-dup pair it finds exactly that pair."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [(0, base), (1, base + " extra"), (2, "totally different words here now " * 5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5, prefilter="minhash")
+    got = [(r["id_a"], r["id_b"]) for r in out.collect()]
+    assert got == [(0, 1)]
+
+
+def test_hcat_domain_mismatch_raises(spark):
+    pts = gtb_points(spark)
+    sub = GeoTable(df=pts.df.filter(F.col("row_id") < 5), crs=pts.crs)
+    with pytest.raises(ValueError, match="different domains"):
+        hcat(pts, sub)
+    # different ids, same count: shifted spine must also raise
+    shifted = GeoTable(df=pts.df.withColumn("row_id", F.col("row_id") + 1), crs=pts.crs)
+    with pytest.raises(ValueError, match="different domains"):
+        hcat(pts, shifted)
+    # validate=False: documented fast path keeps the old intersect behavior
+    assert hcat(pts, sub, validate=False).df.count() == 5
