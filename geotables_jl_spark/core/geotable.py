@@ -68,12 +68,41 @@ class GeoTable:
     lenunit: str | None = None
     grid: GridMeta | None = None
     units: dict[str, str] = field(default_factory=dict)
+    # rank-0 (vertex) attribute table, keyed (row_id, vertex_id) —
+    # reference multi-rank values Dict{Int,table} (src/geotable.jl:34-37,
+    # src/abstractgeotable.jl:20-36; constructor keyword `vtable`,
+    # src/geotable.jl:39-51). The element-rank table is `df` itself.
+    vtable: DataFrame | None = None
 
     # -- shape / names (reference src/api/dataframes.jl:5-42) --------------
     @property
     def names(self) -> list[str]:
         attrs = [c for c in self.df.columns if c not in (ROW_ID, GEOM)]
         return attrs + [GEOM]
+
+    # -- multi-rank values (reference src/abstractgeotable.jl:20-36) -------
+    def values(self, rank: int | None = None) -> DataFrame | None:
+        """Attribute table for a parametric rank. ``None``/element rank →
+        the element attributes; ``0`` → the vertex table, consistently
+        subset to the CURRENT row set (views/filters propagate to all
+        ranks like the reference's SubGeoTable — implemented as a lazy
+        left-semi join on ``row_id``, broadcast-sized when the element
+        side is small)."""
+        if rank == 0:
+            if self.vtable is None:
+                return None
+            return self.vtable.join(self.df.select(ROW_ID), on=ROW_ID, how="left_semi")
+        # None or the element rank (2-D engine: polygons rank 2 / points
+        # rank 0 element sets) → the element attribute table
+        return self.df.drop(GEOM)
+
+    def with_vtable(self, vtable: DataFrame) -> "GeoTable":
+        """Attach a rank-0 (vertex) attribute table keyed by
+        (row_id, vertex_id) — reference ``GeoTable(domain; vtable=...)``."""
+        if ROW_ID not in vtable.columns or "vertex_id" not in vtable.columns:
+            raise ValueError("vtable must carry (row_id, vertex_id) keys")
+        return GeoTable(df=self.df, crs=self.crs, lenunit=self.lenunit,
+                        grid=self.grid, units=dict(self.units), vtable=vtable)
 
     def nrow(self) -> int:
         return self.df.count()
@@ -135,10 +164,13 @@ class GeoTable:
 
     # -- misc ----------------------------------------------------------------
     def _with(self, df: DataFrame) -> "GeoTable":
-        return GeoTable(df=df, crs=self.crs, lenunit=self.lenunit, grid=self.grid, units=dict(self.units))
+        # vtable rides along; values(0) re-subsets it to the new row set
+        return GeoTable(df=df, crs=self.crs, lenunit=self.lenunit, grid=self.grid,
+                        units=dict(self.units), vtable=self.vtable)
 
     def with_grid(self, grid: GridMeta | None) -> "GeoTable":
-        return GeoTable(df=self.df, crs=self.crs, lenunit=self.lenunit, grid=grid, units=dict(self.units))
+        return GeoTable(df=self.df, crs=self.crs, lenunit=self.lenunit, grid=grid,
+                        units=dict(self.units), vtable=self.vtable)
 
 
 def _add_row_id(df: DataFrame, order_by: str | None = None) -> DataFrame:

@@ -96,3 +96,114 @@ def test_extract_text_byte_identical_across_parallelism(spark):
             first = rows
         else:
             assert rows == first
+
+
+def test_simhash_pairs_complete_and_sound(spark):
+    """Self-consistency oracle for the no-oracle simhash driver query
+    (VERDICT r1 #9): against an independent all-pairs recomputation from
+    the signatures, the banded join must be SOUND (every reported pair
+    really has hamming <= bound, verified from signatures) and COMPLETE
+    (the pigeonhole banding misses no pair within the bound)."""
+    from itertools import combinations
+
+    from geotables_jl_spark.operators.dedup import simhash_pairs, simhash_signatures
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(i, base + f"variant {i % 5} tail {'x' * (i % 3)}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["__id"]: r["__sim"] for r in simhash_signatures(df, "doc_id", "text", 2).collect()}
+    bound = 6
+    want = {
+        (a, b): bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        for a, b in combinations(sorted(sigs), 2)
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= bound
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(df, "doc_id", "text", max_hamming=bound).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_ann_lsh_recall_floor_vs_exact(spark):
+    """ann_lsh results must be a subset of candidates ranked exactly like
+    cosine_topk would rank them, with a recall floor vs the exact top-k
+    at generous probe settings (VERDICT r1 #9 hardening of the ann_lsh
+    no-oracle driver query)."""
+    import numpy as np
+
+    from geotables_jl_spark.operators import simsearch as SS
+
+    rng = np.random.default_rng(3)
+    vec_rows = [(i, rng.normal(size=16).tolist()) for i in range(200)]
+    vecs = spark.createDataFrame(vec_rows, "vec_id long, embedding array<double>")
+    queries = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = SS.cosine_topk(vecs, queries, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = SS.ann_lsh_topk(vecs, queries, k=5, planes=8, probes=4).collect()
+    # soundness: scores must equal the exact cosine for the same pair
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["cosine"] - exact_scores[key]) < 1e-12
+    # recall floor: multi-probe at these settings recovers >=60% overall
+    hits = sum(
+        1 for r in approx if r["neighbor_id"] in exact_sets.get(r["query_id"], set())
+    )
+    assert hits >= 0.6 * sum(len(s) for s in exact_sets.values())
+
+
+def test_sample_uniform_deterministic_across_parallelism(spark):
+    """sample_uniform must pick the SAME rows at any parallelism level:
+    hash-rank sampling is partition-independent (VERDICT r1 #9; the
+    no-oracle sample_uniform driver query leans on this). Checked across
+    repartitionings in-session AND against a separate local[3] JVM."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from geotables_jl_spark.core.geotable import georef
+    from geotables_jl_spark.operators.indices import sample_uniform
+
+    df = spark.range(500).select(
+        F.col("id").alias("row_id"),
+        (F.col("id") % 37).cast("double").alias("x"),
+        (F.col("id") % 11).cast("double").alias("y"),
+    )
+    base = None
+    for parts in (1, 7, 32):
+        g = georef(df.repartition(parts), coords=["x", "y"])
+        ids = sorted(r["row_id"] for r in sample_uniform(g, 50, seed=7).df.collect())
+        assert len(ids) == 50
+        if base is None:
+            base = ids
+        else:
+            assert ids == base
+
+    prog = (
+        "import sys, json; sys.path.insert(0, '/root/repo')\n"
+        "from pyspark.sql import functions as F\n"
+        "from geotables_jl_spark.session import get_spark\n"
+        "from geotables_jl_spark.core.geotable import georef\n"
+        "from geotables_jl_spark.operators.indices import sample_uniform\n"
+        "spark = get_spark('det-check', cpus=3, shuffle_partitions=5)\n"
+        "df = spark.range(500).select(F.col('id').alias('row_id'),"
+        " (F.col('id') % 37).cast('double').alias('x'),"
+        " (F.col('id') % 11).cast('double').alias('y'))\n"
+        "g = georef(df, coords=['x', 'y'])\n"
+        "ids = sorted(r['row_id'] for r in sample_uniform(g, 50, seed=7).df.collect())\n"
+        "print('IDS=' + json.dumps(ids))\n"
+    )
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, "-c", prog], capture_output=True, text=True, timeout=300, env=env
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("IDS=")][0]
+    assert json.loads(line[4:]) == base

@@ -88,3 +88,35 @@ def test_hcat_domain_mismatch_raises(spark):
         hcat(pts, shifted)
     # validate=False: documented fast path keeps the old intersect behavior
     assert hcat(pts, sub, validate=False).df.count() == 5
+
+
+def test_multi_rank_vtable(spark):
+    """Multi-rank attribute tables (reference values(gtb, rank),
+    src/abstractgeotable.jl:20-36; GeoTable(domain; vtable=, etable=),
+    src/geotable.jl:39-51): a rank-0 vertex table rides along and views
+    subset it consistently with the element rows."""
+    polys = gtb_polys(spark)
+    # vertex table: one row per (polygon, vertex)
+    from tests.fixtures import POLYS
+
+    vrows = [
+        (pi, vi, float(pi * 10 + vi))
+        for pi, verts in enumerate(POLYS)
+        for vi in range(len(verts))
+    ]
+    vt = spark.createDataFrame(vrows, "row_id long, vertex_id long, w double")
+    g = polys.with_vtable(vt)
+
+    # element rank: unchanged attribute table
+    assert sorted(r["a"] for r in g.values().collect()) == [1, 2, 3, 4]
+    # rank 0: the full vertex table
+    assert g.values(0).count() == sum(len(v) for v in POLYS)
+    # a row view subsets BOTH ranks (reference SubGeoTable semantics)
+    sub = g.rows(F.col("a") <= 2)
+    assert sub.values().count() == 2
+    assert sub.values(0).count() == len(POLYS[0]) + len(POLYS[1])
+    # geometry-only table: values may be absent
+    assert polys.values(0) is None
+
+    with pytest.raises(ValueError, match="vertex_id"):
+        polys.with_vtable(spark.createDataFrame([(0, 1.0)], "row_id long, w double"))
