@@ -35,6 +35,7 @@ from geotables_jl_spark.operators import dedup as DD
 from geotables_jl_spark.operators import simsearch as SS
 from geotables_jl_spark.operators import transforms as TR
 from geotables_jl_spark.operators.geojoin import geojoin, knn_join, spatial_filter
+from geotables_jl_spark.operators import indices as IX
 from geotables_jl_spark.operators.indices import partition_block
 from geotables_jl_spark.operators.multimodal import attach_media_meta, frame_sample_plan
 from geotables_jl_spark.operators.sac import combine, groupby, transform
@@ -388,6 +389,21 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.cosine_topk(emb, queries, k=5).withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate ANN with a FULL DuckDB oracle: deterministic
+    seed-picked coarse centroids + sequential-fold dot products make the
+    whole pipeline (assignment, probing, rerank) SQL-replicable — unlike
+    k-means or hash-family variants."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = SS.ann_ivf_topk(emb, queries, k=5, ncentroids=16, nprobe=4)
+    return out.withColumn("rank", F.col("rank").cast("long")).withColumn(
+        "cosine", F.round(F.col("cosine"), 6)
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -446,6 +462,65 @@ def q_geojoin_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tile_id",
         F.col("cust_id").cast("long").alias("n_pts"),
         F.col("cust_min").cast("long").alias("min_key"),
+    )
+
+
+# holed-region fixture for geojoin_holes: (region_id, outer, hole); all
+# bounds at *.02 offsets so no synthetic point (coords are *.x5 multiples
+# of 0.1) ever lands on a boundary — the oracle needs no boundary rule
+HOLED_REGIONS = [
+    (0, (-100.02, -50.02, -50.02, 0.02), (-80.02, -30.02, -70.02, -20.02)),
+    (1, (0.02, -20.02, 60.02, 30.02), (20.02, 0.02, 40.02, 10.02)),
+    (2, (100.02, 10.02, 150.02, 60.02), (120.02, 30.02, 130.02, 40.02)),
+]
+
+
+def q_geojoin_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geojoin against polygons WITH interior holes (reference PolyArea
+    inner rings): hole-interior points must not match. The Arrow
+    winding-number refinement subtracts holes (``geom/kernel.
+    points_in_poly``); the DuckDB oracle is plain rectangle algebra."""
+    cust = _cust_points(spark, sf_dir, keep=[])
+    pts = GeoTable(
+        df=cust.df.select(ROW_ID, F.col(ROW_ID).alias("cust_id"), F.col(ROW_ID).alias("cust_min"), GEOM),
+        crs=cust.crs,
+    )
+    geom = None
+    for rid, (x0, y0, x1, y1), (hx0, hy0, hx1, hy1) in HOLED_REGIONS:
+        g = st_polygon_lit(
+            [(x0, y0), (x1, y0), (x1, y1), (x0, y1)],
+            holes=[[(hx0, hy0), (hx1, hy0), (hx1, hy1), (hx0, hy1)]],
+        )
+        geom = g if geom is None else F.when(F.col(ROW_ID) == rid, g).otherwise(geom)
+    left_df = spark.createDataFrame(
+        [(rid, rid) for rid, _, _ in HOLED_REGIONS], "row_id long, region_id long"
+    ).withColumn(GEOM, geom)
+    left = GeoTable(df=left_df, crs=cust.crs)
+    res = geojoin(left, pts, aggs={"cust_id": "count", "cust_min": "min"}, kind="inner")
+    return res.df.select(
+        "region_id",
+        F.col("cust_id").cast("long").alias("n_pts"),
+        F.col("cust_min").cast("long").alias("min_key"),
+    )
+
+
+def q_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed percent_rank (operators/ranking.py — range-
+    bucket rank, never an unpartitioned window) vs the SQL window
+    function. rank and n are integers, (rank-1)/(n-1) divides the same
+    ints in both engines — bit-exact, no rounding."""
+    cust = _cust_points(spark, sf_dir, keep=["c_acctbal"])
+    g = TR.quantile_transform(cust, "c_acctbal")
+    return g.df.select(F.col(ROW_ID).alias("c_custkey"), F.col("c_acctbal").alias("pr"))
+
+
+def q_partition_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DirectionPartition as exact global ntile, computed distributed;
+    oracle = the SQL ntile window over the same (projection, key) order."""
+    cust = _cust_points(spark, sf_dir, keep=[])
+    g = IX.partition_direction(cust, 1.0, 0.5, nbins=7)
+    return g.df.select(
+        F.col(ROW_ID).alias("c_custkey"), F.col(IX.PARTITION_COL).cast("long").alias("bin")
     )
 
 
@@ -603,9 +678,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine": q_ann_cosine,
+        "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "webpages_tiles": q_webpages_tiles,
         "geojoin_reproject": q_geojoin_reproject,
+        "geojoin_holes": q_geojoin_holes,
+        "quantile_rank": q_quantile_rank,
+        "partition_direction": q_partition_direction,
         "webpages_identity": q_webpages_identity,
         "multimodal_meta": q_multimodal_meta,
         "feature_zscore": q_feature_zscore,
@@ -814,6 +893,52 @@ def oracle_sql() -> dict[str, str]:
                   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.35
         """,
+        "ann_ivf": """
+            WITH cent AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 16
+            ),
+            assign AS (
+              SELECT vec_id, embedding, cid FROM (
+                SELECT e.vec_id, e.embedding, cent.cid,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), cent.cv)
+                                  / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                                     * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                                  cent.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN cent
+              ) WHERE rn = 1
+            ),
+            q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+            probes AS (
+              SELECT query_id, qv, cid FROM (
+                SELECT q.query_id, q.qv, cent.cid,
+                       row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY list_dot_product(q.qv, cent.cv)
+                                  / (sqrt(list_dot_product(q.qv, q.qv))
+                                     * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                                  cent.cid ASC) AS rn
+                FROM q CROSS JOIN cent
+              ) WHERE rn <= 4
+            ),
+            cand AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id,
+                     list_dot_product(p.qv, CAST(a.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(p.qv, p.qv))
+                          * sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))) AS cosine
+              FROM probes p JOIN assign a USING (cid)
+              WHERE a.vec_id <> p.query_id
+            ),
+            r AS (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM cand
+            )
+            SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, round(cosine, 6) AS cosine
+            FROM r WHERE rnk <= 5
+        """,
         "ann_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
             scored AS (
@@ -848,6 +973,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor((lat+90.0)/10.0) AS BIGINT)*36 + CAST(floor((lon+180.0)/10.0) AS BIGINT) AS tile_id,
                    count(*) AS n_pts, min(k) AS min_key
             FROM pts GROUP BY 1
+        """,
+        "geojoin_holes": """
+            WITH pts AS (
+              SELECT c_custkey AS k,
+                     ((c_custkey*7919)%3600)/10.0 - 180.0 + 0.05 AS cx,
+                     ((c_custkey*104729)%1700)/10.0 - 85.0 + 0.05 AS cy
+              FROM customer
+            ),
+            r(region_id, x0, y0, x1, y1, hx0, hy0, hx1, hy1) AS (VALUES
+              (0, -100.02, -50.02, -50.02, 0.02, -80.02, -30.02, -70.02, -20.02),
+              (1, 0.02, -20.02, 60.02, 30.02, 20.02, 0.02, 40.02, 10.02),
+              (2, 100.02, 10.02, 150.02, 60.02, 120.02, 30.02, 130.02, 40.02))
+            SELECT CAST(region_id AS BIGINT) AS region_id,
+                   count(*) AS n_pts, min(k) AS min_key
+            FROM r JOIN pts
+              ON cx BETWEEN x0 AND x1 AND cy BETWEEN y0 AND y1
+             AND NOT (cx > hx0 AND cx < hx1 AND cy > hy0 AND cy < hy1)
+            GROUP BY 1
+        """,
+        "quantile_rank": """
+            SELECT c_custkey, percent_rank() OVER (ORDER BY c_acctbal) AS pr
+            FROM customer
+        """,
+        "partition_direction": """
+            WITH pts AS (
+              SELECT c_custkey,
+                     ((c_custkey*7919)%3600)/10.0 - 180.0 + 0.05 AS cx,
+                     ((c_custkey*104729)%1700)/10.0 - 85.0 + 0.05 AS cy
+              FROM customer
+            )
+            SELECT c_custkey,
+                   CAST(ntile(7) OVER (ORDER BY cx*1.0 + cy*0.5, c_custkey) - 1 AS BIGINT) AS bin
+            FROM pts
         """,
         "webpages_identity": f"""
             WITH pages AS ({_SQL_PAGES})

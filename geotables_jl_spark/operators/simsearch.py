@@ -210,3 +210,79 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    ncentroids: int = 16,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-style approximate cosine top-k: coarse quantize the corpus
+    into ``ncentroids`` cells, probe the ``nprobe`` best cells per
+    query, exact-rerank the candidates.
+
+    Coarse centroids are the ``ncentroids`` corpus vectors with the
+    smallest ids — deterministic and SQL-expressible (the DuckDB oracle
+    replays the whole pipeline), unlike k-means whose float iteration
+    order is engine-specific. At 100 TB the assignment column is the
+    stored table's partition/bucket key, so probing = partition pruning:
+    a query touches nprobe/ncentroids of the corpus. All dot products
+    are sequential ``aggregate`` folds (whole-stage codegen, and
+    bit-identical to ``list_dot_product``'s left fold) — no Python.
+
+    Output: (query_id, rank, neighbor_id, cosine) like ``cosine_topk``.
+    """
+    import math as _math
+
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(ncentroids)
+        .collect()
+    )
+    cents = [(int(r["cid"]), [float(v) for v in r["cv"]]) for r in cent_rows]
+
+    def _cos_to_cent(vec: Column, vnorm: Column, cvec: list[float]) -> Column:
+        arr = F.array(*[F.lit(v) for v in cvec])
+        cnorm = _math.sqrt(sum(v * v for v in cvec))  # left fold, = SQL's
+        return dot(vec, arr) / (vnorm * F.lit(cnorm))
+
+    def _best_cells(vec: Column, vnorm: Column, n: int) -> Column:
+        # struct(-cos, cid): ascending sort = cosine desc, ties cid asc
+        scored = F.array(
+            *[
+                F.struct((-_cos_to_cent(vec, vnorm, cv)).alias("nc"), F.lit(cid).alias("cid"))
+                for cid, cv in cents
+            ]
+        )
+        return F.slice(F.array_sort(scored), 1, n)
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = c.withColumn("__cn", norm(F.col("__cv")))
+    c = c.withColumn("__cell", F.element_at(_best_cells(F.col("__cv"), F.col("__cn"), 1), 1)["cid"])
+
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv"))
+    q = q.withColumn("__qn", norm(F.col("__qv")))
+    q = q.withColumn(
+        "__cell", F.explode(F.transform(_best_cells(F.col("__qv"), F.col("__qn"), nprobe), lambda s: s["cid"]))
+    )
+
+    cand = q.join(c, on="__cell")
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    cand = cand.withColumn(
+        "cosine", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )

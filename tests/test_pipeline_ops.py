@@ -259,3 +259,27 @@ def test_extract_geotags_missing_marker(spark):
     df = spark.createDataFrame([(1, "no marker here")], "row_id long, text string")
     out = extract_geotags(df).collect()[0]
     assert out["lat"] is None and out["lon"] is None
+
+
+def test_ann_ivf_recall_and_soundness(spark, vecs):
+    """IVF probe search: scores bit-equal to exact cosine for shared
+    pairs; generous nprobe on a small corpus recovers the exact top-k."""
+    from geotables_jl_spark.operators import simsearch as SS
+
+    queries = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = SS.cosine_topk(vecs, queries, k=3).collect()
+    exact_map = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    # nprobe == ncentroids probes every cell -> must equal exact search
+    ivf_full = SS.ann_ivf_topk(vecs, queries, k=3, ncentroids=4, nprobe=4).collect()
+    got_map = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in ivf_full}
+    assert set(got_map) == set(exact_map)
+    for key, v in got_map.items():
+        assert v == exact_map[key]  # both rounded to 6 from identical bits
+    # partial probing returns a subset ranked consistently
+    ivf_1 = SS.ann_ivf_topk(vecs, queries, k=3, ncentroids=4, nprobe=1).collect()
+    for r in ivf_1:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_map:
+            assert r["cosine"] == exact_map[key]
