@@ -20,8 +20,10 @@ pandas UDFs (geometry refinement kernels).
 """
 
 from geotables_jl_spark.core.geotable import GeoTable, georef, georef_grid
+from geotables_jl_spark.functions.crs import canonical_crs, parse_crs, reproject
 from geotables_jl_spark.operators.geojoin import geojoin, knn_join
 from geotables_jl_spark.operators.tablejoin import tablejoin
+from geotables_jl_spark.sources.geoparquet import read_geoparquet, write_geoparquet
 
 __all__ = [
     "GeoTable",
@@ -30,6 +32,11 @@ __all__ = [
     "geojoin",
     "knn_join",
     "tablejoin",
+    "reproject",
+    "parse_crs",
+    "canonical_crs",
+    "read_geoparquet",
+    "write_geoparquet",
 ]
 
 __version__ = "0.1.0"

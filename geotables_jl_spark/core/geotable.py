@@ -73,6 +73,11 @@ class GeoTable:
     # src/abstractgeotable.jl:20-36; constructor keyword `vtable`,
     # src/geotable.jl:39-51). The element-rank table is `df` itself.
     vtable: DataFrame | None = None
+    # categorical level metadata per column (reference: columns are
+    # CategoricalArrays with explicit levels, revised by the Levels
+    # transform — Spark has no categorical dtype, so level sets/order
+    # are table metadata that rides through _with)
+    levels: dict[str, list] = field(default_factory=dict)
 
     # -- shape / names (reference src/api/dataframes.jl:5-42) --------------
     @property
@@ -102,7 +107,8 @@ class GeoTable:
         if ROW_ID not in vtable.columns or "vertex_id" not in vtable.columns:
             raise ValueError("vtable must carry (row_id, vertex_id) keys")
         return GeoTable(df=self.df, crs=self.crs, lenunit=self.lenunit,
-                        grid=self.grid, units=dict(self.units), vtable=vtable)
+                        grid=self.grid, units=dict(self.units), vtable=vtable,
+                        levels=dict(self.levels))
 
     def nrow(self) -> int:
         return self.df.count()
@@ -166,11 +172,13 @@ class GeoTable:
     def _with(self, df: DataFrame) -> "GeoTable":
         # vtable rides along; values(0) re-subsets it to the new row set
         return GeoTable(df=df, crs=self.crs, lenunit=self.lenunit, grid=self.grid,
-                        units=dict(self.units), vtable=self.vtable)
+                        units=dict(self.units), vtable=self.vtable,
+                        levels=dict(self.levels))
 
     def with_grid(self, grid: GridMeta | None) -> "GeoTable":
         return GeoTable(df=self.df, crs=self.crs, lenunit=self.lenunit, grid=grid,
-                        units=dict(self.units), vtable=self.vtable)
+                        units=dict(self.units), vtable=self.vtable,
+                        levels=dict(self.levels))
 
 
 def _add_row_id(df: DataFrame, order_by: str | None = None) -> DataFrame:

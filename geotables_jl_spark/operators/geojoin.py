@@ -439,8 +439,12 @@ def geojoin(
     pass them here and the join plans without touching the data.
 
     pred: "intersects" (default, ``geojoin.jl:51``), "within" (left ⊆
-    right — reference ``issubset``), "contains", or "knn" (k nearest right
-    neighbors per left row, point geometries).
+    right — reference ``issubset``), "contains", "knn" (k nearest right
+    neighbors per left row, point geometries), or an arbitrary Python
+    callable ``(lgeom: pd.Series, rgeom: pd.Series) -> bool mask``
+    evaluated in the Arrow refinement stage (reference
+    ``pred=(g1,g2)->Bool``, ``geojoin.jl:51-52``) — must imply envelope
+    overlap (candidates come from the cell join).
 
     salt: explicit replication factor for skewed cells, or "auto" to
     derive it from the big side's cell histogram (only engaged when the

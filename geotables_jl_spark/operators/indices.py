@@ -89,6 +89,43 @@ def partition_ball(gtb: GeoTable, radius: float) -> GeoTable:
     return gtb._with(gtb.df.withColumn(PARTITION_COL, pid.cast("long")))
 
 
+def partition_ball_exact(gtb: GeoTable, radius: float) -> GeoTable:
+    """Reference-exact BallPartition: sweep rows in ``row_id`` order;
+    each unassigned row seeds a new part and captures every unassigned
+    row within ``radius`` of it (Meshes.jl ball grouping is this
+    sequential seed scan — order-dependent by construction, so no
+    shuffle-parallel formulation can reproduce it exactly). The sweep
+    runs driver-side over (row_id, cx, cy) only — numpy-vectorized per
+    seed, fine to ~10M rows; beyond that use :func:`partition_ball`
+    (the cell approximation) and accept the different part boundaries."""
+    import numpy as np
+
+    cx, cy = _centroid_xy(F.col(GEOM))
+    pdf = (
+        gtb.df.select(F.col(ROW_ID).alias("rid"), cx.alias("px"), cy.alias("py"))
+        .orderBy("rid")
+        .toPandas()
+    )
+    rid = pdf["rid"].to_numpy()
+    px = pdf["px"].to_numpy(float)
+    py = pdf["py"].to_numpy(float)
+    pid = np.full(len(rid), -1, dtype=np.int64)
+    next_pid = 0
+    for i in range(len(rid)):
+        if pid[i] >= 0:
+            continue
+        free = pid < 0
+        d2 = (px - px[i]) ** 2 + (py - py[i]) ** 2
+        pid[free & (d2 <= radius * radius)] = next_pid
+        next_pid += 1
+    spark = gtb.df.sparkSession
+    mapping = spark.createDataFrame(
+        [(int(r), int(p)) for r, p in zip(rid, pid)], f"{ROW_ID} long, {PARTITION_COL} long"
+    )
+    out = gtb.df.join(F.broadcast(mapping), on=ROW_ID, how="left")
+    return gtb._with(out)
+
+
 def partition_hierarchical(gtb: GeoTable, coarse: float, fine: float) -> GeoTable:
     """HierarchicalPartition: coarse block id + nested fine block id —
     two-level tiling (coarse id in the high bits). Matches the

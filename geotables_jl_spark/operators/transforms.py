@@ -131,8 +131,29 @@ def coerce(gtb: GeoTable, col: str, dtype: str) -> GeoTable:
 
 
 def levels_check(gtb: GeoTable, col: str, levels: list) -> GeoTable:
+    """Deprecated filter approximation — kept for callers that want the
+    subset behavior explicitly. The reference-faithful transform is
+    :func:`set_levels`."""
     ok = F.col(col).isin(levels) | F.col(col).isNull()
     return gtb._with(gtb.df.filter(ok))
+
+
+def set_levels(gtb: GeoTable, col: str, levels: list, validate: bool = True) -> GeoTable:
+    """Levels transform (TableTransforms ``Levels(:col => [...])``):
+    revise the categorical level set/order of a column. Spark has no
+    categorical dtype, so levels are table METADATA (``gtb.levels``) —
+    the data is not filtered. ``validate=True`` runs one aggregate to
+    assert every non-null value is a declared level (the reference
+    errors on out-of-level values)."""
+    if validate:
+        bad = gtb.df.filter(
+            ~F.col(col).isin(list(levels)) & F.col(col).isNotNull()
+        ).limit(1).count()
+        if bad:
+            raise ValueError(f"set_levels: column {col!r} has values outside {levels!r}")
+    out = gtb._with(gtb.df)
+    out.levels[col] = list(levels)
+    return out
 
 
 # ---- global-statistic rescalers (one agg, literals folded back) ----------

@@ -43,6 +43,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # min/max over STRING columns compile to SortAggregate (varlen agg
+        # buffers can't use the hash fast path), and the map-side sort is
+        # per SCAN partition: at the 128 MB default a task sorts ~10M rows
+        # and spills, and spill I/O contention made 16 cores SLOWER than 4
+        # (measured 43 s vs 20 s on a 120M-row min(url)). 32 MB splits keep
+        # every sort in execution memory: 5.4 s at 16 cores, 3.15x speedup.
+        # On a real cluster this is the same knob per executor-core memory.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

@@ -2,6 +2,7 @@ from geotables_jl_spark.streaming.pages_stream import (
     PAGE_SCHEMA,
     read_page_stream,
     stream_dedup_urls,
+    stream_host_sessions,
     stream_tile_counts,
 )
 
@@ -10,4 +11,5 @@ __all__ = [
     "read_page_stream",
     "stream_tile_counts",
     "stream_dedup_urls",
+    "stream_host_sessions",
 ]

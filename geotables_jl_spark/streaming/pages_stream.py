@@ -96,3 +96,100 @@ def stream_dedup_urls(pages: DataFrame, watermark: str = "30 minutes") -> DataFr
     arrivals within the watermark horizon are dropped. State is bounded
     by the watermark (url → seen, expired as event time advances)."""
     return pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(["url"])
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_pages", T.LongType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def stream_host_sessions(
+    pages: DataFrame,
+    gap_seconds: int = 600,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): crawl
+    sessionization per host — consecutive page arrivals from one host
+    with inter-arrival gaps ≤ ``gap_seconds`` form one session; a
+    session closes (and is emitted) when the event-time watermark passes
+    its end + gap. Arbitrary gap-based sessions are NOT expressible with
+    fixed windows — this is the canonical use of the user-state API.
+
+    State per host: (start, end, count) — O(1) per key, expired by the
+    event-time timeout, so total state is bounded by the number of
+    hosts active inside the watermark horizon.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "host": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_pages": [n],
+                }
+            )
+            return
+        lo, hi, cnt = None, None, 0
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf["warc_ts"]).astype("int64") // 1000  # µs
+            lo = int(ts.min()) if lo is None else min(lo, int(ts.min()))
+            hi = int(ts.max()) if hi is None else max(hi, int(ts.max()))
+            cnt += len(ts)
+        if cnt == 0:
+            return
+        if state.exists:
+            s0, e0, n0 = state.get
+            # gap exceeded between stored session and this burst: emit the
+            # old session, start fresh (late/out-of-order bursts inside the
+            # watermark merge instead)
+            if lo - e0 > gap_us:
+                state.update((lo, hi, cnt))
+                closed = pd.DataFrame(
+                    {
+                        "host": [key[0]],
+                        "session_start": [pd.Timestamp(s0, unit="us")],
+                        "session_end": [pd.Timestamp(e0, unit="us")],
+                        "n_pages": [n0],
+                    }
+                )
+                state.setTimeoutTimestamp(hi // 1000 + gap_seconds * 1000)
+                yield closed
+                return
+            state.update((min(s0, lo), max(e0, hi), n0 + cnt))
+            state.setTimeoutTimestamp(max(e0, hi) // 1000 + gap_seconds * 1000)
+        else:
+            state.update((lo, hi, cnt))
+            state.setTimeoutTimestamp(hi // 1000 + gap_seconds * 1000)
+
+    hosts = pages.withColumn(
+        "host", F.regexp_extract(F.col("url"), r"https?://([^/]+)/", 1)
+    ).withWatermark("warc_ts", watermark)
+    return hosts.groupBy("host").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

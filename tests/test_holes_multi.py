@@ -137,3 +137,38 @@ def test_area_centroid_with_holes(spark):
     ).collect()[0]
     assert r2["a"] == pytest.approx(96.0)
     assert r2["cx"] > 5.0
+
+
+def test_spark_geojoin_multipolygon(spark):
+    """Mixed-geometry right side incl. a kind=5 Multi (two parts, one
+    holed): aggregate-on-match counts respect part membership and holes
+    (reference Multi in GeometrySet, test/operations.jl:3-8)."""
+    from pyspark.sql import types as T
+
+    from tests.fixtures import _schema
+
+    part1 = [c for xy in OUTER for c in xy]
+    hole1 = [c for xy in HOLE[::-1] for c in xy]  # CW hole
+    part2 = [20.0, 0.0, 30.0, 0.0, 30.0, 10.0, 20.0, 10.0]
+    multi = {
+        "kind": 5, "x": None, "y": None,
+        "rings": [part1, hole1, part2],
+        "xmin": 0.0, "ymin": 0.0, "xmax": 30.0, "ymax": 10.0,
+    }
+    left_df = spark.createDataFrame(
+        [{"row_id": 0, "name": "multi", "geometry": multi}],
+        _schema([T.StructField("name", T.StringType())]),
+    )
+    left = GeoTable(df=left_df, crs="Cartesian")
+    pts = [
+        (0, 5.0, 5.0, 1.0),    # in hole of part 1 -> excluded
+        (1, 1.0, 1.0, 2.0),    # part 1 solid
+        (2, 25.0, 5.0, 4.0),   # part 2
+        (3, 15.0, 5.0, 8.0),   # between parts -> excluded
+    ]
+    right = georef(
+        spark.createDataFrame(pts, "row_id long, px double, py double, v double"),
+        coords=["px", "py"],
+    )
+    out = geojoin(left, right, aggs={"v": "sum"}, kind="left").df.collect()
+    assert len(out) == 1 and out[0]["v"] == pytest.approx(6.0)

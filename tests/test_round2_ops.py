@@ -120,3 +120,43 @@ def test_multi_rank_vtable(spark):
 
     with pytest.raises(ValueError, match="vertex_id"):
         polys.with_vtable(spark.createDataFrame([(0, 1.0)], "row_id long, w double"))
+
+
+def test_set_levels_metadata(spark):
+    """Levels is metadata revision + domain validation (TableTransforms
+    semantics), NOT a row filter; the level order rides through views."""
+    from geotables_jl_spark.operators import transforms as TR
+
+    df = spark.createDataFrame(
+        [(0, "a", 0.0, 0.0), (1, "b", 1.0, 1.0), (2, None, 2.0, 2.0)],
+        "row_id long, cat string, x double, y double",
+    )
+    from geotables_jl_spark.core.geotable import georef
+
+    g = georef(df, coords=["x", "y"])
+    out = TR.set_levels(g, "cat", ["b", "a"])
+    assert out.nrow() == 3  # no rows dropped
+    assert out.levels["cat"] == ["b", "a"]
+    assert out.rows(F.col("row_id") > 0).levels["cat"] == ["b", "a"]  # survives views
+    with pytest.raises(ValueError, match="outside"):
+        TR.set_levels(g, "cat", ["a"])  # 'b' not covered
+
+
+def test_partition_ball_exact(spark):
+    """Reference-exact ball partition: sequential seed sweep in row_id
+    order — golden values on a hand-checkable layout."""
+    from geotables_jl_spark.core.geotable import georef
+    from geotables_jl_spark.operators.indices import PARTITION_COL, partition_ball_exact
+
+    # two tight clusters + one outlier; seeds are rows 0 and 2 and 4
+    rows = [
+        (0, 0.0, 0.0), (1, 0.5, 0.0),      # ball of row 0
+        (2, 10.0, 10.0), (3, 10.0, 10.4),  # ball of row 2
+        (4, 50.0, 50.0),                   # singleton
+    ]
+    g = georef(spark.createDataFrame(rows, "row_id long, x double, y double"), coords=["x", "y"])
+    out = {r["row_id"]: r[PARTITION_COL] for r in partition_ball_exact(g, 1.0).df.collect()}
+    assert out == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+    # partition ids are a permutation-complete labeling (reference
+    # invariant: sort(inds) == 1:n across subsets, test/indices.jl)
+    assert set(out) == {0, 1, 2, 3, 4}

@@ -91,3 +91,59 @@ def test_stream_dedup_urls(spark, page_dir, tmp_path):
     got = [r["url"] for r in spark.sql("select url from dedup_urls").collect()]
     n_urls = spark.read.parquet(page_dir).select("url").distinct().count()
     assert len(got) == len(set(got)) == n_urls
+
+
+def test_stream_host_sessions(spark, tmp_path):
+    """Custom stateful sessionization (applyInPandasWithState): gap-split
+    sessions per host match a hand-computed expectation."""
+    import datetime as dt
+
+    from geotables_jl_spark.streaming import stream_host_sessions
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def row(host, minutes):
+        return (
+            f"https://{host}/p{minutes}",
+            t0 + dt.timedelta(minutes=minutes),
+            None,
+            "x",
+            "en",
+        )
+
+    # host a: two sessions (gap 30 min > 10 min); host b: one session
+    batch1 = [row("a.com", 0), row("a.com", 5), row("b.com", 2)]
+    batch2 = [row("a.com", 40), row("a.com", 44)]
+    # a late sentinel far ahead advances the watermark so sessions close
+    batch3 = [row("z.com", 600)]
+    d = str(tmp_path / "sessions_in")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    for i, batch in enumerate([batch1, batch2, batch3]):
+        spark.createDataFrame(
+            batch, "url string, warc_ts timestamp, html binary, text string, lang string"
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    from geotables_jl_spark.streaming import read_page_stream
+
+    stream = read_page_stream(spark, d, max_files_per_trigger=1)
+    out = stream_host_sessions(stream, gap_seconds=600, watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("host_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sessions"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["host"], r["session_start"].minute, r["session_end"].minute, r["n_pages"])
+        for r in spark.sql("select * from host_sessions").collect()
+    }
+    assert ("a.com", 0, 5, 2) in got
+    assert ("a.com", 40, 44, 2) in got
+    assert ("b.com", 2, 2, 1) in got
