@@ -223,6 +223,7 @@ def ann_ivf_topk(
     ncentroids: int = 16,
     nprobe: int = 4,
     exclude_self: bool = True,
+    use_kernel: bool | None = None,
 ) -> DataFrame:
     """IVF-style approximate cosine top-k: coarse quantize the corpus
     into ``ncentroids`` cells, probe the ``nprobe`` best cells per
@@ -233,13 +234,22 @@ def ann_ivf_topk(
     replays the whole pipeline), unlike k-means whose float iteration
     order is engine-specific. At 100 TB the assignment column is the
     stored table's partition/bucket key, so probing = partition pruning:
-    a query touches nprobe/ncentroids of the corpus. All dot products
-    are sequential ``aggregate`` folds (whole-stage codegen, and
-    bit-identical to ``list_dot_product``'s left fold) — no Python.
+    a query touches nprobe/ncentroids of the corpus.
+
+    Determinism/oracle parity: every dot product is a SEQUENTIAL left
+    fold over the vector — the big corpus assignment runs as an Arrow
+    numpy kernel vectorized over ROWS but accumulated dim-by-dim (bit-
+    identical to ``list_dot_product``; a BLAS matmul would pairwise-sum
+    and drift ulps), and the small query/rerank paths are JVM
+    ``aggregate`` folds of the same shape.
 
     Output: (query_id, rank, neighbor_id, cosine) like ``cosine_topk``.
     """
     import math as _math
+
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
 
     cent_rows = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
@@ -264,9 +274,69 @@ def ann_ivf_topk(
         )
         return F.slice(F.array_sort(scored), 1, n)
 
+    # ---- corpus assignment: Arrow kernel, sequential-fold semantics ----
+    cid_arr = np.array([cid for cid, _ in cents], dtype=np.int64)
+    cmat = np.array([cv for _, cv in cents], dtype=np.float64)  # (C, d)
+    cnorms = np.array(
+        [_math.sqrt(sum(v * v for v in cv)) for _, cv in cents], dtype=np.float64
+    )
+    nid_type = corpus.schema[id_col].dataType
+    assign_schema = T.StructType(
+        [
+            T.StructField("neighbor_id", nid_type),
+            T.StructField("__cv", corpus.schema[vec_col].dataType),
+            T.StructField("__cn", T.DoubleType()),
+            T.StructField("__cell", T.LongType()),
+        ]
+    )
+
+    def _assign(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = {n: i for i, n in enumerate(rb.schema.names)}
+            vecs = rb.column(names["__cv"])
+            flat = np.asarray(vecs.combine_chunks().flatten() if hasattr(vecs, "combine_chunks") else vecs.flatten(), dtype=np.float64)
+            n = rb.num_rows
+            d = cmat.shape[1]
+            V = flat.reshape(n, d)
+            # sequential accumulation over dims (rows vectorized): bit-
+            # identical to the SQL/JVM left fold, unlike a BLAS matmul
+            dots = np.zeros((n, len(cid_arr)))
+            vn2 = np.zeros(n)
+            for j in range(d):
+                vj = V[:, j]
+                dots += vj[:, None] * cmat[:, j][None, :]
+                vn2 += vj * vj
+            vn = np.sqrt(vn2)
+            cos = dots / (vn[:, None] * cnorms[None, :])
+            # argmax with ties to the SMALLEST cid: cids are id-sorted so
+            # plain argmax (first max) already breaks ties low
+            best = np.argmax(cos, axis=1)
+            out = pa.record_batch(
+                [
+                    rb.column(names["neighbor_id"]),
+                    rb.column(names["__cv"]),
+                    pa.array(vn),
+                    pa.array(cid_arr[best]),
+                ],
+                names=["neighbor_id", "__cv", "__cn", "__cell"],
+            )
+            yield out
+
+    if use_kernel is None:
+        # parquet count() is metadata-only — cheap at any scale. Below
+        # ~100k rows the Python-worker spin-up exceeds the kernel's win
+        # over the interpreted JVM folds; above it the kernel dominates.
+        use_kernel = corpus.count() >= 100_000
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    c = c.withColumn("__cn", norm(F.col("__cv")))
-    c = c.withColumn("__cell", F.element_at(_best_cells(F.col("__cv"), F.col("__cn"), 1), 1)["cid"])
+    if use_kernel:
+        c = c.mapInArrow(_assign, schema=assign_schema)
+    else:
+        c = c.withColumn("__cn", norm(F.col("__cv")))
+        c = c.withColumn(
+            "__cell", F.element_at(_best_cells(F.col("__cv"), F.col("__cn"), 1), 1)["cid"]
+        )
 
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv"))
     q = q.withColumn("__qn", norm(F.col("__qv")))
