@@ -298,6 +298,26 @@ def q_sort_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(F.col(ROW_ID).alias("c_custkey"), F.col("rnk"))
 
 
+def q_partition_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PlanePartition(normal=(3,4), tol=0.01): coplanar-group ids as one
+    codegen column expression (operators/indices.py:partition_plane)."""
+    from geotables_jl_spark.operators.indices import partition_plane
+
+    cust = _cust_points(spark, sf_dir, keep=[])
+    res = partition_plane(cust, 3.0, 4.0, tol=0.01)
+    return res.df.select(F.col(ROW_ID).alias("c_custkey"), F.col("partition_id"))
+
+
+def q_bisect_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BisectFractionPartition((1,0.5), fraction=0.25): exact
+    distributed-rank split — no unpartitioned window."""
+    from geotables_jl_spark.operators.indices import partition_bisect_fraction
+
+    cust = _cust_points(spark, sf_dir, keep=[])
+    res = partition_bisect_fraction(cust, 1.0, 0.5, fraction=0.25)
+    return res.df.select(F.col(ROW_ID).alias("c_custkey"), F.col("partition_id"))
+
+
 def q_grid_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = georef_grid(spark, 100, 100, ox=0.0, oy=0.0, sx=1.0, sy=1.0)
     g = GeoTable(df=g.df.withColumn("val", (F.col(ROW_ID) * 13) % 97), crs=g.crs, grid=g.grid)
@@ -666,6 +686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vcat_union": q_vcat_union,
         "hcat": q_hcat,
         "partition_block": q_partition_block,
+        "partition_plane": q_partition_plane,
+        "bisect_fraction": q_bisect_fraction,
         "sort_direction": q_sort_direction,
         "grid_subset": q_grid_subset,
         "spatial_select": q_spatial_select,
@@ -827,6 +849,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey,
                    CAST(floor(cx/10.0) AS BIGINT)*2147483648 + CAST(floor(cy/10.0) AS BIGINT) AS partition_id
             FROM (SELECT c_custkey, {SQL_CX} AS cx, {SQL_CY} AS cy FROM customer)
+        """,
+        "partition_plane": f"""
+            SELECT c_custkey,
+                   CAST(round(((cx*3.0 + cy*4.0)/5.0)/0.01) AS BIGINT) AS partition_id
+            FROM (SELECT c_custkey, {SQL_CX} AS cx, {SQL_CY} AS cy FROM customer)
+        """,
+        "bisect_fraction": f"""
+            SELECT c_custkey,
+                   CASE WHEN rn <= CAST(floor(0.25*n + 0.5) AS BIGINT) THEN 0 ELSE 1 END AS partition_id
+            FROM (
+                SELECT c_custkey,
+                       row_number() OVER (ORDER BY cx*1.0 + cy*0.5 ASC, c_custkey ASC) AS rn,
+                       count(*) OVER () AS n
+                FROM (SELECT c_custkey, {SQL_CX} AS cx, {SQL_CY} AS cy FROM customer)
+            )
         """,
         "sort_direction": f"""
             SELECT c_custkey,

@@ -67,8 +67,158 @@ def partition_direction(gtb: GeoTable, dx: float, dy: float, nbins: int = 10) ->
 
 
 def partition_predicate(gtb: GeoTable, pred: Column) -> GeoTable:
-    """IndexPredicatePartition: boolean predicate → parts {0,1}."""
+    """Column-predicate partition: boolean predicate → parts {0,1}.
+    Fast path when the grouping reduces to a unary row property; for the
+    reference's BINARY predicates use :func:`partition_index_predicate`
+    / :func:`partition_point_predicate`."""
     return gtb._with(gtb.df.withColumn(PARTITION_COL, F.when(pred, 1).otherwise(0)))
+
+
+def partition_plane(gtb: GeoTable, dx: float, dy: float, tol: float = 1e-6) -> GeoTable:
+    """PlanePartition(normal; tol) (reference ``test/indices.jl:13``):
+    objects whose centroids lie on the same hyperplane perpendicular to
+    ``(dx, dy)`` share a part — i.e. equal signed distance along the unit
+    normal, quantized at ``tol``. Pure column math (one codegen
+    expression, zero shuffles); exactly-coplanar points always group
+    together, points within ``tol`` straddling a quantization boundary
+    may split (the reference's in-memory pairwise isapprox can't be
+    reproduced shuffle-parallel without an all-pairs pass).
+
+    Reference ``DirectionPartition(v)`` ("same line along v",
+    ``test/indices.jl:14``) is this method with the rotated normal
+    (-dy, dx) — see :func:`partition_direction_line`.
+    """
+    import math as _math
+
+    n = _math.hypot(dx, dy)
+    cx, cy = _centroid_xy(F.col(GEOM))
+    proj = (cx * F.lit(dx) + cy * F.lit(dy)) / F.lit(n)
+    pid = F.round(proj / F.lit(tol)).cast("long")
+    return gtb._with(gtb.df.withColumn(PARTITION_COL, pid))
+
+
+def partition_direction_line(gtb: GeoTable, dx: float, dy: float, tol: float = 1e-6) -> GeoTable:
+    """Reference-exact DirectionPartition(v): group points lying on the
+    same LINE with direction (dx, dy) — the plane partition with the
+    perpendicular normal. (:func:`partition_direction` is the binned
+    ntile variant kept for its driver query.)"""
+    return partition_plane(gtb, -dy, dx, tol=tol)
+
+
+def partition_bisect_fraction(
+    gtb: GeoTable, dx: float, dy: float, fraction: float = 0.5
+) -> GeoTable:
+    """BisectFractionPartition(normal, fraction) (reference
+    ``test/indices.jl:12``): split by a plane perpendicular to ``(dx,
+    dy)`` positioned so ``fraction`` of the objects fall on the low side.
+    The reference binary-searches the plane offset (maxiter-bounded, so
+    approximate); here the split is EXACT — a distributed global rank
+    over the projection (range-bucket rank, ``operators/ranking.py``,
+    no unpartitioned window) and a cut at ⌊fraction·n + 0.5⌋ (half-up —
+    SQL-oracle-expressible, unlike Python's banker's round). Ties at the
+    cut break by row_id (deterministic)."""
+    import math as _math
+
+    from geotables_jl_spark.operators.ranking import global_rank
+
+    cx, cy = _centroid_xy(F.col(GEOM))
+    proj = cx * F.lit(dx) + cy * F.lit(dy)
+    ranked, total = global_rank(
+        gtb.df, proj, out="__bf_rn", tiebreak=[F.col(ROW_ID).asc()], mode="row_number"
+    )
+    cut = int(_math.floor(fraction * total + 0.5))
+    df = ranked.withColumn(
+        PARTITION_COL, F.when(F.col("__bf_rn") <= cut, F.lit(0)).otherwise(F.lit(1))
+    ).drop("__bf_rn")
+    return gtb._with(df)
+
+
+def _predicate_partition(gtb: GeoTable, pred, with_points: bool) -> GeoTable:
+    """Shared engine for Index/PointPredicatePartition (reference
+    ``test/indices.jl:15-16``): greedy representative grouping — a row
+    joins the first existing part whose representative satisfies
+    ``pred(rep, row)``, else seeds a new part (Meshes.jl's sequential
+    scan semantics).
+
+    Distributed shape: (1) rows are range-partitioned and sorted by
+    row_id, each task greedily groups ITS rows against local
+    representatives (mapInPandas, O(rows × local_parts)); (2) the local
+    representatives (num_tasks × num_parts rows — tiny when the
+    predicate induces few classes, which is the method's use case) are
+    merged with the same greedy scan on the driver; (3) the rep→part map
+    broadcasts back. For a transitive (equivalence) predicate this is
+    exactly the reference's grouping with parts labeled by first
+    appearance in row_id order; for non-transitive predicates the parts
+    are still disjoint-exhaustive (the reference's own greedy output is
+    order-dependent there too). The map stage is deterministic (sorted
+    input), so the two jobs that consume it may recompute it instead of
+    pinning a persist."""
+    import pandas as pd
+
+    cx, cy = _centroid_xy(F.col(GEOM))
+    sel = gtb.df.select(F.col(ROW_ID).alias("rid"), cx.alias("px"), cy.alias("py"))
+    sel = sel.repartitionByRange(F.col("rid")).sortWithinPartitions("rid")
+
+    def _group(pdfs):
+        reps: list[tuple] = []  # (rid, px, py) in first-appearance order
+        rids, assigned, pxs, pys = [], [], [], []
+        for pdf in pdfs:
+            for rid, px, py in zip(pdf["rid"], pdf["px"], pdf["py"]):
+                rep = None
+                for rrid, rx, ry in reps:
+                    ok = pred((rx, ry), (px, py)) if with_points else pred(int(rrid), int(rid))
+                    if ok:
+                        rep = rrid
+                        break
+                if rep is None:
+                    reps.append((rid, px, py))
+                    rep = rid
+                rids.append(rid)
+                assigned.append(rep)
+                pxs.append(px)
+                pys.append(py)
+        yield pd.DataFrame({"rid": rids, "rep": assigned, "px": pxs, "py": pys})
+
+    asg = sel.mapInPandas(_group, schema="rid long, rep long, px double, py double")
+    # merge the per-task representatives driver-side (tiny by contract)
+    reps = sorted(
+        (int(r["rid"]), float(r["px"]), float(r["py"]))
+        for r in asg.filter(F.col("rid") == F.col("rep")).collect()
+    )
+    roots: list[tuple] = []
+    root_of: dict[int, int] = {}
+    for rid, px, py in reps:
+        for rrid, rx, ry in roots:
+            ok = pred((rx, ry), (px, py)) if with_points else pred(int(rrid), int(rid))
+            if ok:
+                root_of[rid] = rrid
+                break
+        else:
+            roots.append((rid, px, py))
+            root_of[rid] = rid
+    pid_of_root = {r[0]: i for i, r in enumerate(roots)}
+    spark = gtb.df.sparkSession
+    mapping = spark.createDataFrame(
+        [(rid, pid_of_root[root]) for rid, root in root_of.items()],
+        "rep long, __pp_pid long",
+    )
+    pid = (
+        asg.join(F.broadcast(mapping), on="rep", how="left")
+        .select(F.col("rid").alias(ROW_ID), F.col("__pp_pid").alias(PARTITION_COL))
+    )
+    return gtb._with(gtb.df.join(pid, on=ROW_ID, how="left"))
+
+
+def partition_index_predicate(gtb: GeoTable, pred) -> GeoTable:
+    """IndexPredicatePartition((i, j) -> bool) over row_ids (reference
+    ``test/indices.jl:15``)."""
+    return _predicate_partition(gtb, pred, with_points=False)
+
+
+def partition_point_predicate(gtb: GeoTable, pred) -> GeoTable:
+    """PointPredicatePartition(((x1,y1), (x2,y2)) -> bool) over centroid
+    coordinates (reference ``test/indices.jl:16``)."""
+    return _predicate_partition(gtb, pred, with_points=True)
 
 
 def partition_product(gtb: GeoTable, *cols: str) -> GeoTable:

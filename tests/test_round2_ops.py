@@ -160,3 +160,98 @@ def test_partition_ball_exact(spark):
     # partition ids are a permutation-complete labeling (reference
     # invariant: sort(inds) == 1:n across subsets, test/indices.jl)
     assert set(out) == {0, 1, 2, 3, 4}
+
+
+def test_partition_methods_cover_all_indices(spark):
+    """Reference test/indices.jl:5-23 — every partition method yields a
+    disjoint-exhaustive labeling of 1..n (here 0..n-1 row_ids), on the
+    same 10x10 regular point grid the reference uses."""
+    from geotables_jl_spark.core.geotable import georef
+    from geotables_jl_spark.operators.indices import (
+        PARTITION_COL,
+        partition_bisect_fraction,
+        partition_direction_line,
+        partition_index_predicate,
+        partition_plane,
+        partition_point_predicate,
+    )
+
+    rows = [(10 * j + i, float(i), float(j)) for i in range(10) for j in range(10)]
+    g = georef(spark.createDataFrame(rows, "row_id long, x double, y double"), coords=["x", "y"])
+
+    methods = [
+        partition_plane(g, 1.0, 1.0),
+        partition_direction_line(g, 1.0, 1.0),
+        partition_bisect_fraction(g, 1.0, 1.0, fraction=0.25),
+        partition_index_predicate(g, lambda i, j: (i + j) % 2 == 0),
+        partition_point_predicate(
+            g, lambda p, q: (p[0] + q[0]) ** 2 + (p[1] + q[1]) ** 2 < 25.0
+        ),
+    ]
+    for out in methods:
+        rows_out = out.df.select("row_id", PARTITION_COL).collect()
+        assert sorted(r["row_id"] for r in rows_out) == list(range(100))
+        assert all(r[PARTITION_COL] is not None for r in rows_out)
+
+
+def test_partition_plane_groups_collinear(spark):
+    """Points on the same anti-diagonal (x+y = c) share a plane id for
+    normal (1,1); 10x10 grid has 19 anti-diagonals."""
+    from geotables_jl_spark.core.geotable import georef
+    from geotables_jl_spark.operators.indices import PARTITION_COL, partition_plane
+
+    rows = [(10 * j + i, float(i), float(j)) for i in range(10) for j in range(10)]
+    g = georef(spark.createDataFrame(rows, "row_id long, x double, y double"), coords=["x", "y"])
+    got = {r["row_id"]: r[PARTITION_COL] for r in partition_plane(g, 1.0, 1.0).df.collect()}
+    assert len(set(got.values())) == 19
+    for rid, pid in got.items():
+        i, j = rid % 10, rid // 10
+        for rid2, pid2 in got.items():
+            i2, j2 = rid2 % 10, rid2 // 10
+            assert (pid == pid2) == (i + j == i2 + j2)
+
+
+def test_partition_bisect_fraction_exact_split(spark):
+    """fraction=0.25 on 100 points → exactly 25 on the low-projection
+    side, and every low-side projection <= every high-side projection."""
+    from geotables_jl_spark.core.geotable import georef
+    from geotables_jl_spark.operators.indices import PARTITION_COL, partition_bisect_fraction
+
+    rows = [(10 * j + i, float(i), float(j)) for i in range(10) for j in range(10)]
+    g = georef(spark.createDataFrame(rows, "row_id long, x double, y double"), coords=["x", "y"])
+    out = partition_bisect_fraction(g, 1.0, 0.0, fraction=0.25).df.collect()
+    lo = [r for r in out if r[PARTITION_COL] == 0]
+    hi = [r for r in out if r[PARTITION_COL] == 1]
+    assert len(lo) == 25 and len(hi) == 75
+    # x = row_id % 10 (georef consumed the coord columns into geometry)
+    assert max(r["row_id"] % 10 for r in lo) <= min(r["row_id"] % 10 for r in hi)
+
+
+def test_partition_index_predicate_parity_classes(spark):
+    """iseven(i+j) (reference test/indices.jl:15) is an equivalence →
+    exactly the two parity classes, labeled by first appearance."""
+    from geotables_jl_spark.core.geotable import georef
+    from geotables_jl_spark.operators.indices import PARTITION_COL, partition_index_predicate
+
+    rows = [(i, float(i), 0.0) for i in range(20)]
+    g = georef(spark.createDataFrame(rows, "row_id long, x double, y double"), coords=["x", "y"])
+    got = {r["row_id"]: r[PARTITION_COL] for r in partition_index_predicate(
+        g, lambda i, j: (i + j) % 2 == 0
+    ).df.collect()}
+    assert all(got[i] == i % 2 for i in range(20))  # row 0 seeds part 0
+
+
+def test_partition_point_predicate_clusters(spark):
+    """Transitive-on-this-layout point predicate: two far clusters, pred
+    = within distance 2 → the two clusters, regardless of task count."""
+    from geotables_jl_spark.core.geotable import georef
+    from geotables_jl_spark.operators.indices import PARTITION_COL, partition_point_predicate
+
+    rows = [(i, float(i % 3) * 0.1, 0.0) for i in range(6)] + [
+        (i, 100.0 + float(i % 3) * 0.1, 0.0) for i in range(6, 12)
+    ]
+    g = georef(spark.createDataFrame(rows, "row_id long, x double, y double"), coords=["x", "y"])
+    pred = lambda p, q: (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2 <= 4.0
+    got = {r["row_id"]: r[PARTITION_COL] for r in partition_point_predicate(g, pred).df.collect()}
+    assert all(got[i] == 0 for i in range(6))
+    assert all(got[i] == 1 for i in range(6, 12))
