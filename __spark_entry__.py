@@ -318,6 +318,23 @@ def q_bisect_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select(F.col(ROW_ID).alias("c_custkey"), F.col("partition_id"))
 
 
+def q_closure_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compositional Closure + Remainder (operators/transforms.py,
+    reference test/misc.jl:4-12) over two deterministic positive parts —
+    map-only column math. Division is IEEE-correctly-rounded so the
+    DuckDB oracle matches bit-exact (log-based ALR/CLR/ILR are 1-ulp
+    engine-dependent → pytest-covered instead)."""
+    from geotables_jl_spark.operators import transforms as TR
+
+    cust = _cust_points(spark, sf_dir, keep=[])
+    g = cust._with(
+        cust.df.withColumn("p1", (F.col(ROW_ID) % 97 + 1).cast("double"))
+        .withColumn("p2", (F.col(ROW_ID) % 89 + 2).cast("double"))
+    )
+    out = TR.remainder(TR.closure(g, "p1", "p2"), "p1", "p2", total=1.0)
+    return out.df.select(F.col(ROW_ID).alias("c_custkey"), "p1", "p2", "remainder")
+
+
 def q_grid_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = georef_grid(spark, 100, 100, ox=0.0, oy=0.0, sx=1.0, sy=1.0)
     g = GeoTable(df=g.df.withColumn("val", (F.col(ROW_ID) * 13) % 97), crs=g.crs, grid=g.grid)
@@ -688,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_block": q_partition_block,
         "partition_plane": q_partition_plane,
         "bisect_fraction": q_bisect_fraction,
+        "closure_remainder": q_closure_remainder,
         "sort_direction": q_sort_direction,
         "grid_subset": q_grid_subset,
         "spatial_select": q_spatial_select,
@@ -849,6 +867,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey,
                    CAST(floor(cx/10.0) AS BIGINT)*2147483648 + CAST(floor(cy/10.0) AS BIGINT) AS partition_id
             FROM (SELECT c_custkey, {SQL_CX} AS cx, {SQL_CY} AS cy FROM customer)
+        """,
+        "closure_remainder": """
+            SELECT c_custkey,
+                   p1/(p1+p2) AS p1,
+                   p2/(p1+p2) AS p2,
+                   1.0 - (p1/(p1+p2) + p2/(p1+p2)) AS remainder
+            FROM (SELECT c_custkey,
+                         CAST(c_custkey % 97 + 1 AS DOUBLE) AS p1,
+                         CAST(c_custkey % 89 + 2 AS DOUBLE) AS p2
+                  FROM customer)
         """,
         "partition_plane": f"""
             SELECT c_custkey,

@@ -14,6 +14,7 @@ the scale-correct pattern (never a window over the whole table).
 from __future__ import annotations
 
 import re as _re
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -221,6 +222,94 @@ def quantile_transform(gtb: GeoTable, col: str, nbins: int = 100) -> GeoTable:
     from geotables_jl_spark.operators.ranking import percent_rank_col
 
     return gtb._with(percent_rank_col(gtb.df, F.col(col), out=col))
+
+
+# ---- compositional-data transforms (reference ``test/misc.jl:2-28``;
+# CoDa.jl semantics reaching GeoTables through the TableTransforms
+# passthrough). All map-only column math — zero shuffles. ------------------
+
+
+def _num_attrs(gtb: GeoTable, cols) -> list[str]:
+    cols = list(cols) or _attrs(gtb)
+    if not cols:
+        raise ValueError("compositional transform needs at least one part column")
+    return cols
+
+
+def closure(gtb: GeoTable, *cols: str) -> GeoTable:
+    """Closure(): rescale part columns to sum to 1 per row
+    (``test/misc.jl:4-7``). Keeps column names."""
+    cols = _num_attrs(gtb, cols)
+    s = reduce(lambda a, b: a + b, [F.col(c) for c in cols])
+    # one select: sequential withColumn would re-resolve `s` against the
+    # already-divided columns
+    out = gtb.df.select(
+        *[(F.col(c) / s).alias(c) if c in cols else F.col(c) for c in gtb.df.columns]
+    )
+    return gtb._with(out)
+
+
+def remainder(gtb: GeoTable, *cols: str, total: float | None = None) -> GeoTable:
+    """Remainder(): append ``remainder = τ − Σ parts`` where τ is the max
+    row sum over the table (one planning aggregate) unless given
+    (``test/misc.jl:9-12``)."""
+    cols = _num_attrs(gtb, cols)
+    s = reduce(lambda a, b: a + b, [F.col(c) for c in cols])
+    if total is None:
+        total = float(gtb.df.agg(F.max(s).alias("t")).collect()[0]["t"])
+    return gtb._with(gtb.df.withColumn("remainder", F.lit(total) - s))
+
+
+def alr(gtb: GeoTable, *cols: str) -> GeoTable:
+    """ALR(): additive log-ratio — log(x_i / x_D) for i < D, REPLACING the
+    part columns. Output columns are named ``ARL1..`` to match the
+    reference's observable behavior (``test/misc.jl:14-17`` asserts
+    :ARL1 — CoDa.jl's spelling, kept verbatim for parity)."""
+    cols = _num_attrs(gtb, cols)
+    if len(cols) < 2:
+        raise ValueError("ALR needs >= 2 parts")
+    last = F.col(cols[-1])
+    keep = [c for c in gtb.df.columns if c not in cols]
+    exprs = [(F.log(F.col(c) / last)).alias(f"ARL{i+1}") for i, c in enumerate(cols[:-1])]
+    out = gtb.df.select(*[c for c in keep if c != GEOM], *exprs, GEOM)
+    return gtb._with(out)
+
+
+def clr(gtb: GeoTable, *cols: str) -> GeoTable:
+    """CLR(): centered log-ratio — log(x_i / geometric_mean(x)), one
+    output per part, columns ``CLR1..CLRD`` (``test/misc.jl:19-22``).
+    log(gmean) = mean(log x): numerically stable and codegen-friendly."""
+    cols = _num_attrs(gtb, cols)
+    lg = [F.log(F.col(c)) for c in cols]
+    mean_lg = reduce(lambda a, b: a + b, lg) / F.lit(float(len(cols)))
+    keep = [c for c in gtb.df.columns if c not in cols]
+    exprs = [(lg[i] - mean_lg).alias(f"CLR{i+1}") for i in range(len(cols))]
+    out = gtb.df.select(*[c for c in keep if c != GEOM], *exprs, GEOM)
+    return gtb._with(out)
+
+
+def ilr(gtb: GeoTable, *cols: str) -> GeoTable:
+    """ILR(): isometric log-ratio via pivot coordinates —
+    z_j = sqrt((D−j)/(D−j+1)) · log(x_j / gmean(x_{j+1..D})), j=1..D−1,
+    columns ``ILR1..ILR(D−1)`` (``test/misc.jl:24-27``; the reference
+    asserts the column-name contract, the basis convention is the
+    standard pivot one)."""
+    import math as _math
+
+    cols = _num_attrs(gtb, cols)
+    D = len(cols)
+    if D < 2:
+        raise ValueError("ILR needs >= 2 parts")
+    lg = [F.log(F.col(c)) for c in cols]
+    keep = [c for c in gtb.df.columns if c not in cols]
+    exprs = []
+    for j in range(D - 1):
+        tail = lg[j + 1 :]
+        gmean_log = reduce(lambda a, b: a + b, tail) / F.lit(float(len(tail)))
+        coef = _math.sqrt((D - j - 1) / (D - j))
+        exprs.append((F.lit(coef) * (lg[j] - gmean_log)).alias(f"ILR{j+1}"))
+    out = gtb.df.select(*[c for c in keep if c != GEOM], *exprs, GEOM)
+    return gtb._with(out)
 
 
 # ---- geometric transforms -------------------------------------------------

@@ -255,3 +255,87 @@ def test_partition_point_predicate_clusters(spark):
     got = {r["row_id"]: r[PARTITION_COL] for r in partition_point_predicate(g, pred).df.collect()}
     assert all(got[i] == 0 for i in range(6))
     assert all(got[i] == 1 for i in range(6, 12))
+
+
+def test_compositional_transforms(spark):
+    """Reference test/misc.jl:2-28 — Closure/Remainder/ALR/CLR/ILR column
+    contracts plus value semantics on a known composition."""
+    import math
+
+    from geotables_jl_spark.core.geotable import georef
+    from geotables_jl_spark.operators import transforms as TR
+
+    rows = [(i, 1.0 + i, 2.0 + i, 0.0, 0.0) for i in range(8)]
+    g = georef(
+        spark.createDataFrame(rows, "row_id long, z double, w double, x double, y double"),
+        coords=["x", "y"],
+    )
+
+    n = TR.closure(g, "z", "w")
+    assert n.names == ["z", "w", "geometry"]
+    for r in n.df.collect():
+        assert abs(r["z"] + r["w"] - 1.0) < 1e-12
+
+    n = TR.remainder(g, "z", "w")
+    assert n.names == ["z", "w", "remainder", "geometry"]
+    tau = max(1.0 + i + 2.0 + i for i in range(8))
+    for r in n.df.collect():
+        assert abs(r["remainder"] - (tau - r["z"] - r["w"])) < 1e-12
+        assert r["remainder"] >= -1e-12
+
+    n = TR.alr(g, "z", "w")
+    assert n.names == ["ARL1", "geometry"]  # CoDa's :ARL1 spelling, kept
+    got = {r["row_id"]: r["ARL1"] for r in n.df.collect()}
+    for i in range(8):
+        assert abs(got[i] - math.log((1.0 + i) / (2.0 + i))) < 1e-12
+
+    n = TR.clr(g, "z", "w")
+    assert n.names == ["CLR1", "CLR2", "geometry"]
+    for r in n.df.collect():
+        assert abs(r["CLR1"] + r["CLR2"]) < 1e-12  # CLR rows sum to 0
+
+    n = TR.ilr(g, "z", "w")
+    assert n.names == ["ILR1", "geometry"]
+    got = {r["row_id"]: r["ILR1"] for r in n.df.collect()}
+    for i in range(8):
+        want = math.sqrt(0.5) * math.log((1.0 + i) / (2.0 + i))
+        assert abs(got[i] - want) < 1e-12
+
+
+def test_geometry_only_tables(spark):
+    """Reference test/emptytable.jl + test/noattribs.jl — geometry-only
+    tables flow through selection, hcat, vcat, and views; unknown
+    columns raise."""
+    import pytest as _pytest
+
+    from geotables_jl_spark.core.geotable import georef
+    from geotables_jl_spark.operators.setops import hcat, vcat
+
+    rows = [(i, float(i), float(i), float(i)) for i in range(3)]
+    full = georef(
+        spark.createDataFrame(rows, "row_id long, a double, x double, y double"),
+        coords=["x", "y"],
+    )
+    gtb = full.select_vars([])  # drop every attribute → geometry-only
+    assert gtb.names == ["geometry"]
+    assert gtb.ncol() == 1 and gtb.nrow() == 3
+    assert gtb.select_vars(None).names == ["geometry"]  # gtb[:, :] == gtb
+
+    # hcat with an attributed table restores attributes on the same spine
+    h = hcat(gtb, full.select_vars(["a"]))
+    assert h.names == ["a", "geometry"] and h.nrow() == 3
+
+    # vcat of two geometry-only tables stacks domains
+    rows2 = [(i + 10, float(i) + 4.0, float(i) + 4.0) for i in range(3)]
+    other = georef(
+        spark.createDataFrame(rows2, "row_id long, x double, y double"), coords=["x", "y"]
+    )
+    v = vcat(gtb, other, kind="union")
+    assert v.names == ["geometry"] and v.nrow() == 6
+
+    # views keep the empty value table
+    assert gtb.rows(F.col("row_id") != 1).nrow() == 2
+
+    # unknown column selection raises (reference @test_throws)
+    with _pytest.raises(KeyError):
+        full.select_vars(["test"])
