@@ -227,6 +227,11 @@ def georef(
 
     if coords is not None:
         names = list(coords)
+        missing = [c for c in names if c not in df.columns]
+        if missing:
+            # reference throws ArgumentError on unknown coord columns
+            # (test/georef.jl:63)
+            raise ValueError(f"georef: coordinate columns not found: {missing}")
         lat = next((c for c in names if _variants_match(c, _LAT_NAMES)), None)
         lon = next((c for c in names if _variants_match(c, _LON_NAMES)), None)
         if crs is None and len(names) == 2 and lat is not None and lon is not None:
@@ -236,6 +241,10 @@ def georef(
             guessed = _canon_crs(crs or "Cartesian")
             x_col, y_col = names[0], names[1]
         out = df.withColumn(GEOM, st_point(F.col(x_col), F.col(y_col))).drop(*names)
+        if guessed == "LatLon" and lenunit is not None:
+            # reference: "the length unit of a LatLon CRS cannot be
+            # changed" (test/georef.jl:157-158) — degrees aren't lengths
+            raise ValueError("georef: lenunit cannot be set for a LatLon CRS")
         return GeoTable(df=_add_row_id(out, row_id_order), crs=guessed, lenunit=lenunit)
 
     if GEOM not in df.columns:

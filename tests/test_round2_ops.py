@@ -339,3 +339,20 @@ def test_geometry_only_tables(spark):
     # unknown column selection raises (reference @test_throws)
     with _pytest.raises(KeyError):
         full.select_vars(["test"])
+
+
+def test_georef_validation_errors(spark):
+    """Reference test/georef.jl:63 (unknown coord columns) and :157-158
+    (LatLon + lenunit is an error)."""
+    import pytest as _pytest
+
+    from geotables_jl_spark.core.geotable import georef
+
+    df = spark.createDataFrame([(0, 1.0, 2.0)], "row_id long, x double, y double")
+    with _pytest.raises(ValueError, match="not found"):
+        georef(df, coords=["X", "Y"])
+    ll = spark.createDataFrame([(0, 1.0, 2.0)], "row_id long, lat double, lon double")
+    with _pytest.raises(ValueError, match="LatLon"):
+        georef(ll, coords=["lat", "lon"], lenunit="km")
+    # Cartesian lenunit is fine
+    assert georef(df, coords=["x", "y"], lenunit="mm").lenunit == "mm"
