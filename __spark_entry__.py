@@ -665,6 +665,24 @@ def q_tablejoin_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_learn_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn transform (reference ``test/feature.jl:71-76``): distributed
+    OLS fit of c_acctbal on the point x-coordinate — one map-side-
+    combinable normal-equation aggregate, fitted surface folded back as a
+    codegen expression (``operators/learn.py``). The closed-form
+    slope/intercept arithmetic has an identical term-for-term twin in the
+    SQL oracle."""
+    from geotables_jl_spark.operators.learn import learn_ols
+
+    cust = _cust_points(spark, sf_dir, keep=["c_acctbal"])
+    g = cust._with(cust.df.withColumn("cx", F.col(GEOM)["x"]))
+    g = learn_ols(g, "c_acctbal", "cx")
+    return g.df.select(
+        F.col(ROW_ID).alias("c_custkey"),
+        F.round(F.col("c_acctbal_hat"), 6).alias("bal_hat"),
+    )
+
+
 def q_feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _cust_points(spark, sf_dir, keep=["c_acctbal", "c_mktsegment"])
     g = TR.filter_rows(cust, F.col("c_acctbal") > 0.0)
@@ -728,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webpages_identity": q_webpages_identity,
         "multimodal_meta": q_multimodal_meta,
         "feature_zscore": q_feature_zscore,
+        "learn_ols": q_learn_ols,
         "webpages_extract_text": q_webpages_extract_text,
         "parent_scatter": q_parent_scatter,
         "dropextrema": q_dropextrema,
@@ -1093,6 +1112,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS BIGINT) AS seg_building,
                    CAST(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS BIGINT) AS seg_machinery
             FROM f, s
+        """,
+        "learn_ols": """
+            WITH f AS (SELECT c_custkey,
+                              ((c_custkey * 7919) % 3600) / 10.0 - 180.0 + 0.05 AS cx,
+                              c_acctbal AS y FROM customer),
+            s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(cx) AS sx, sum(y) AS sy,
+                         sum(cx*cx) AS sxx, sum(cx*y) AS sxy FROM f),
+            b AS (SELECT (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+                         (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n AS b0 FROM s)
+            SELECT c_custkey, round(b.b0 + b.slope * cx, 6) AS bal_hat FROM f, b
         """,
         "webpages_extract_text": f"""
             SELECT url, text AS text_ex FROM ({_SQL_PAGES})

@@ -191,6 +191,66 @@ def zscore(gtb: GeoTable, *cols: str) -> GeoTable:
     return gtb._with(df)
 
 
+def identity(gtb: GeoTable) -> GeoTable:
+    """Identity() (reference ``test/feature.jl:22``) — the no-op pipeline
+    stage. Same plan in, same plan out (Catalyst collapses it)."""
+    return gtb._with(gtb.df)
+
+
+def rowtable(gtb: GeoTable) -> GeoTable:
+    """RowTable() (reference ``test/feature.jl:36``): re-materialize the
+    attribute table in row-oriented form. A DataFrame is representation-
+    agnostic (Tungsten rows / Arrow columns as the plan demands), so the
+    geotable is unchanged — matching the reference contract that apply
+    still returns an AbstractGeoTable over the same domain."""
+    return gtb._with(gtb.df)
+
+
+def coltable(gtb: GeoTable) -> GeoTable:
+    """ColTable() (reference ``test/feature.jl:37``) — see rowtable."""
+    return gtb._with(gtb.df)
+
+
+_FUNCTIONAL = {
+    "exp": F.exp, "log": F.log, "log1p": F.log1p, "expm1": F.expm1,
+    "sqrt": F.sqrt, "abs": F.abs, "sin": F.sin, "cos": F.cos,
+    "tan": F.tan, "asin": F.asin, "acos": F.acos, "atan": F.atan,
+}
+
+
+def functional(gtb: GeoTable, fn: str, *cols: str) -> GeoTable:
+    """Functional(fn) (reference ``test/feature.jl:28``): apply a scalar
+    function to every (or the named) numeric attribute column — pure
+    map-side codegen, zero shuffles. ``fn`` names a built-in
+    ``pyspark.sql.functions`` scalar so the hot path never enters
+    Python."""
+    if fn not in _FUNCTIONAL:
+        raise ValueError(f"functional: unknown fn {fn!r} (have {sorted(_FUNCTIONAL)})")
+    f = _FUNCTIONAL[fn]
+    targets = list(cols) or [
+        c
+        for c in _attrs(gtb)
+        if isinstance(gtb.df.schema[c].dataType, T.NumericType)
+    ]
+    df = gtb.df
+    for c in targets:
+        df = df.withColumn(c, f(F.col(c)))
+    return gtb._with(df)
+
+
+def stdfeats(gtb: GeoTable) -> GeoTable:
+    """StdFeats() (reference ``test/feature.jl:10``): standardize every
+    Continuous feature — ZScore over each fractional-typed attribute
+    column (the scitype mapping of SURVEY §1.5: fractional → Continuous,
+    int/string/bool → Categorical, which StdFeats leaves alone)."""
+    cols = [
+        c
+        for c in _attrs(gtb)
+        if isinstance(gtb.df.schema[c].dataType, T.FractionalType)
+    ]
+    return zscore(gtb, *cols) if cols else gtb._with(gtb.df)
+
+
 def interquartile(gtb: GeoTable, *cols: str, exact: bool = True) -> GeoTable:
     """Interquartile rescaler (reference ``test/feature.jl:26``;
     TableTransforms ``Interquartile() = Scale(low=0.25, high=0.75)``):
