@@ -303,6 +303,29 @@ def georef_grid(
     return GeoTable(df=df.select(*order), grid=GridMeta(nx=nx, ny=ny, ox=ox, oy=oy, sx=sx, sy=sy))
 
 
+def grid_view_box(gtb: GeoTable, x0: float, y0: float, x1: float, y1: float) -> GeoTable:
+    """``view(gridtable, Box)`` stays RASTER (reference
+    ``test/views.jl:12-19``: viewing a 10×10 grid with Box((1,1),(5,5))
+    yields the 6×6 sub-grid of every cell intersecting the box, origin
+    snapped to the cell lattice). Cell i intersects [x0, x1] iff
+    ox+i·sx ≤ x1 and ox+(i+1)·sx ≥ x0 (closed intersection — boundary
+    touch counts, as in the reference result). Pure index arithmetic on
+    the driver + the grid_subset predicate; the lazy grid relation never
+    materializes cells outside the window."""
+    if gtb.grid is None:
+        raise ValueError("grid_view_box requires a grid-domained geotable")
+    import math
+
+    g = gtb.grid
+    i0 = max(0, math.ceil((x0 - g.ox) / g.sx) - 1)
+    i1 = min(g.nx - 1, math.floor((x1 - g.ox) / g.sx))
+    j0 = max(0, math.ceil((y0 - g.oy) / g.sy) - 1)
+    j1 = min(g.ny - 1, math.floor((y1 - g.oy) / g.sy))
+    if i1 < i0 or j1 < j0:
+        raise ValueError("box does not intersect the grid")
+    return grid_subset(gtb, i0, i1, j0, j1)
+
+
 def grid_subset(gtb: GeoTable, i0: int, i1: int, j0: int, j1: int) -> GeoTable:
     """Grid-preserving Cartesian indexing gtb[(i0:i1, j0:j1)] — result is
     still a raster (reference ``src/api/geotables.jl:19-62``). Pure

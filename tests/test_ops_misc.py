@@ -161,3 +161,27 @@ def test_scatter_onto_parent(spark):
     assert back.nrow() == 10
     vals = {r["row_id"]: r["a"] for r in back.df.collect()}
     assert vals[9] == 9.0 and vals[0] is None
+
+
+def test_grid_view_box_stays_raster(spark):
+    """Reference test/views.jl:12-19: view(10x10 grid, Box((1,1),(5,5)))
+    is the 6x6 sub-grid of all intersecting cells with the attribute
+    values of the corresponding parent cells."""
+    from geotables_jl_spark.core.geotable import grid_view_box
+
+    g = georef_grid(spark, 10, 10)
+    g = g._with(g.df.withColumn("a", F.col("row_id") + 1))
+    v = grid_view_box(g, 1.0, 1.0, 5.0, 5.0)
+    assert v.grid is not None
+    assert (v.grid.nx, v.grid.ny) == (6, 6)
+    assert (v.grid.ox, v.grid.oy) == (0.0, 0.0)
+    got = sorted(r["a"] for r in v.df.collect())
+    want = sorted(
+        base + off for base in (1, 11, 21, 31, 41, 51) for off in range(6)
+    )
+    assert got == want
+    # non-intersecting box errors rather than returning an empty raster
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        grid_view_box(g, 50.0, 50.0, 60.0, 60.0)
