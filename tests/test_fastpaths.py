@@ -207,3 +207,33 @@ def test_sample_uniform_deterministic_across_parallelism(spark):
     assert out.returncode == 0, out.stderr[-2000:]
     line = [l for l in out.stdout.splitlines() if l.startswith("IDS=")][0]
     assert json.loads(line[4:]) == base
+
+
+def test_ann_kernel_paths_bit_identical_to_jvm(spark):
+    """The Arrow kernels (corpus sign-hash, IVF assignment, candidate
+    rerank) accumulate dim-by-dim — the same addition sequence as the
+    SQL fold — so forcing use_kernel on/off must produce IDENTICAL rows
+    (ids, ranks, and float cosines alike)."""
+    from geotables_jl_spark.operators import simsearch as SS
+    from pyspark.sql import functions as F
+
+    n, d = 300, 16
+    rows = [
+        (i, [((i * 37 + j * 11) % 97) / 97.0 - 0.5 + (0.5 if j == i % d else 0.0) for j in range(d)])
+        for i in range(n)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = vecs.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    def rows_of(df):
+        return sorted((r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in df.collect())
+
+    lsh_jvm = rows_of(SS.ann_lsh_topk(vecs, queries, k=4, planes=6, probes=2, use_kernel=False))
+    lsh_krn = rows_of(SS.ann_lsh_topk(vecs, queries, k=4, planes=6, probes=2, use_kernel=True))
+    assert lsh_jvm == lsh_krn and len(lsh_jvm) > 0
+
+    ivf_jvm = rows_of(SS.ann_ivf_topk(vecs, queries, k=4, ncentroids=8, nprobe=3, use_kernel=False))
+    ivf_krn = rows_of(SS.ann_ivf_topk(vecs, queries, k=4, ncentroids=8, nprobe=3, use_kernel=True))
+    assert ivf_jvm == ivf_krn and len(ivf_jvm) > 0
