@@ -386,35 +386,30 @@ def embedding_neardup_pairs(
     )
     if not use_lsh:
         return _blocked_cosine_pairs(base, threshold)
-    if use_lsh:
-        import numpy as np
+    import numpy as np
 
-        dim = len(df.select(vec_col).first()[0])
-        rng = np.random.default_rng(seed)
-        H = rng.standard_normal((planes, dim))
-        def bucket(v: Column) -> Column:
-            bits = F.lit(0).cast("long")
-            for p in range(planes):
-                d = F.aggregate(
-                    F.zip_with(
-                        v,
-                        F.array(*[F.lit(float(c)) for c in H[p]]),
-                        lambda x, y: x.cast("double") * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                bits = bits.bitwiseOR(F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long"))
-            return bits
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((planes, dim))
+    def bucket(v: Column) -> Column:
+        bits = F.lit(0).cast("long")
+        for p in range(planes):
+            d = F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(c)) for c in H[p]]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits = bits.bitwiseOR(F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long"))
+        return bits
 
-        base = base.withColumn("__bkt", bucket(F.col("__v")))
-        a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__nna"), "__bkt")
-        b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nnb"), "__bkt")
-        cand = a.join(b, on="__bkt").filter(F.col("id_a") < F.col("id_b"))
-    else:
-        a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__nna"))
-        b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nnb"))
-        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    base = base.withColumn("__bkt", bucket(F.col("__v")))
+    a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__nna"), "__bkt")
+    b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nnb"), "__bkt")
+    cand = a.join(b, on="__bkt").filter(F.col("id_a") < F.col("id_b"))
     return (
         cand.withColumn(
             "cosine", _dot(F.col("__va"), F.col("__vb")) / (F.col("__nna") * F.col("__nnb"))
