@@ -172,3 +172,33 @@ def test_spark_geojoin_multipolygon(spark):
     )
     out = geojoin(left, right, aggs={"v": "sum"}, kind="left").df.collect()
     assert len(out) == 1 and out[0]["v"] == pytest.approx(6.0)
+
+
+def test_fully_mixed_kind_geojoin_single_arrow_pass(spark):
+    """Both sides carry BOTH points and polygons — the branch where
+    round-1 split pt-pt pairs JVM-side and re-evaluated the cell-join
+    subtree twice; now one Arrow pass (kernel short-circuits pt-pt).
+    Hand-known match sets."""
+    from pyspark.sql import types as T
+
+    from geotables_jl_spark.core.geotable import GeoTable
+    from geotables_jl_spark.geom.model import GEOMETRY_TYPE, geom_rows_from_polygons, point_row
+    from geotables_jl_spark.operators.geojoin import geojoin
+
+    lpolys = geom_rows_from_polygons(
+        [[(0, 0), (4, 0), (4, 4), (0, 4)], [(10, 10), (14, 10), (14, 14), (10, 14)]]
+    )
+    lg = [lpolys[0], lpolys[1], point_row(2.0, 2.0), point_row(12.0, 12.0)]
+    rpolys = geom_rows_from_polygons([[(1, 1), (3, 1), (3, 3), (1, 3)]])
+    rg = [point_row(2.0, 2.0), point_row(99.0, 99.0), rpolys[0]]
+    ldf = spark.createDataFrame([(i, f"L{i}") for i in range(4)], "row_id long, lname string")
+    rdf = spark.createDataFrame([(i, float(i + 1)) for i in range(3)], "row_id long, val double")
+    schema = T.StructType(
+        [T.StructField("row_id", T.LongType()), T.StructField("geometry", GEOMETRY_TYPE)]
+    )
+    gl = GeoTable(df=ldf.join(spark.createDataFrame(list(enumerate(lg)), schema), "row_id"))
+    gr = GeoTable(df=rdf.join(spark.createDataFrame(list(enumerate(rg)), schema), "row_id"))
+    out = geojoin(gl, gr, kind="left").df.orderBy("row_id").collect()
+    # L0 poly ∩ {r-point(2,2), r-poly} → mean(1,3)=2; L1 nothing; L2 point
+    # (2,2) ∩ {r-point, r-poly} → 2; L3 nothing
+    assert [(r["row_id"], r["val"]) for r in out] == [(0, 2.0), (1, None), (2, 2.0), (3, None)]
