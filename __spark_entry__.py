@@ -348,6 +348,48 @@ def q_grid_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grid_view_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view(gridtable, Box) stays raster (reference ``test/views.jl:12-19``):
+    the 36×18 tile grid windowed by a lon/lat box — driver-side index
+    arithmetic + the grid-preserving predicate; all-integer output."""
+    from geotables_jl_spark.core.geotable import grid_view_box
+
+    g = georef_grid(spark, 36, 18, ox=-180.0, oy=-90.0, sx=10.0, sy=10.0)
+    v = grid_view_box(g, -10.0, 35.0, 30.0, 60.0)
+    geom = F.col(GEOM)
+    return v.df.select(
+        F.col(ROW_ID).alias("cell_id"),
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        geom["xmin"].cast("long").alias("x0"),
+        geom["ymax"].cast("long").alias("y1"),
+    )
+
+
+def q_functional_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional transform (reference ``test/feature.jl:28``): sqrt over
+    the numeric columns — IEEE-correctly-rounded in both engines, so the
+    oracle is bit-exact without rounding."""
+    cust = _cust_points(spark, sf_dir, keep=["c_acctbal"])
+    g = TR.filter_rows(cust, F.col("c_acctbal") > 0.0)
+    g = TR.functional(g, "sqrt", "c_acctbal")
+    return g.df.select(F.col(ROW_ID).alias("c_custkey"), F.col("c_acctbal").alias("sqrt_bal"))
+
+
+def q_stdfeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StdFeats (reference ``test/feature.jl:10``): every fractional
+    column standardized, categorical/int columns untouched."""
+    cust = _cust_points(spark, sf_dir, keep=["c_acctbal", "c_nationkey"])
+    g = cust._with(cust.df.withColumn("half_bal", F.col("c_acctbal") * 0.5))
+    g = TR.stdfeats(g)
+    return g.df.select(
+        F.col(ROW_ID).alias("c_custkey"),
+        F.round(F.col("c_acctbal"), 6).alias("z_bal"),
+        F.round(F.col("half_bal"), 6).alias("z_half"),
+        F.col("c_nationkey").cast("long").alias("nat"),
+    )
+
+
 def q_spatial_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _cust_points(spark, sf_dir, keep=[])
     box = st_box(-50.0, -50.0, 50.0, 50.0)
@@ -726,6 +768,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closure_remainder": q_closure_remainder,
         "sort_direction": q_sort_direction,
         "grid_subset": q_grid_subset,
+        "grid_view_box": q_grid_view_box,
+        "functional_sqrt": q_functional_sqrt,
+        "stdfeats": q_stdfeats,
         "spatial_select": q_spatial_select,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -923,6 +968,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(id // 100 + 1) AS BIGINT) AS sum_ymax
             FROM range(10000) t(id)
             WHERE id % 100 BETWEEN 10 AND 29 AND id // 100 BETWEEN 40 AND 59
+        """,
+        "grid_view_box": """
+            SELECT id AS cell_id, i, j, -180 + i*10 AS x0, -90 + (j+1)*10 AS y1
+            FROM (SELECT id, id % 36 AS i, id // 36 AS j FROM range(648) t(id))
+            WHERE i >= CAST(ceil((-10.0 - -180.0) / 10.0) AS BIGINT) - 1
+              AND i <= CAST(floor((30.0 - -180.0) / 10.0) AS BIGINT)
+              AND j >= CAST(ceil((35.0 - -90.0) / 10.0) AS BIGINT) - 1
+              AND j <= CAST(floor((60.0 - -90.0) / 10.0) AS BIGINT)
+        """,
+        "functional_sqrt": """
+            SELECT c_custkey, sqrt(c_acctbal) AS sqrt_bal
+            FROM customer WHERE c_acctbal > 0.0
+        """,
+        "stdfeats": """
+            WITH f AS (SELECT c_custkey, c_acctbal, c_acctbal * 0.5 AS half_bal,
+                              c_nationkey FROM customer),
+            s AS (SELECT avg(c_acctbal) AS m1, stddev_samp(c_acctbal) AS s1,
+                         avg(half_bal) AS m2, stddev_samp(half_bal) AS s2 FROM f)
+            SELECT c_custkey,
+                   round((c_acctbal - s.m1) / s.s1, 6) AS z_bal,
+                   round((half_bal - s.m2) / s.s2, 6) AS z_half,
+                   CAST(c_nationkey AS BIGINT) AS nat
+            FROM f, s
         """,
         "spatial_select": f"""
             SELECT c_custkey FROM (SELECT c_custkey, {SQL_CX} AS cx, {SQL_CY} AS cy FROM customer)
