@@ -1,0 +1,77 @@
+"""Plan-shape regression guards — the scale contract, asserted on the
+OPTIMIZED PLANS rather than only on outputs.
+
+These lock in the properties that make the engine 100 TB-shaped (and
+whose silent regression outputs would never catch at test scale):
+
+- no ``Window`` without ``partitionBy`` anywhere in the driver queries
+  (the round-1 one-task collapse, VERDICT "What's wrong" #1);
+- dimension-sized join sides broadcast (tile joins never shuffle the
+  page stream by cell);
+- parquet scans are column-pruned to what the query reads.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+# every Window in every driver query must be partitioned: an
+# unpartitioned window funnels the whole table through ONE task
+@pytest.mark.parametrize(
+    "name",
+    sorted(E.queries()),
+)
+def test_no_unpartitioned_window_anywhere(spark, name):
+    df = E.queries()[name](spark, SF)
+    plan = _plan(df)
+    for m in re.finditer(r"Window \[[^\]]*\]", plan):
+        frag = plan[m.start() : m.start() + 600]
+        # physical form: Window [exprs], [partitionExprs], [orderExprs] —
+        # an unpartitioned window shows an empty second bracket
+        assert not re.search(r"Window \[[^\]]*\], \[\], \[", frag), (
+            f"{name}: unpartitioned Window in plan:\n{frag}"
+        )
+
+
+def test_tile_join_broadcasts_the_tile_side(spark):
+    df = E.queries()["geojoin_tiles_left"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan[:2000]
+
+
+def test_webpages_tiles_broadcasts(spark):
+    df = E.queries()["webpages_tiles"](spark, SF)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_scan_is_column_pruned(spark):
+    # georef_points reads only (c_custkey, c_name) from the 5-column table
+    df = E.queries()["georef_points"](spark, SF)
+    plan = _formatted(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:1500]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"c_custkey", "c_name"}, cols
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from pyspark.sql import functions as F
+
+    pages = spark.read.parquet(f"{SF}/customer.parquet").filter(F.col("c_acctbal") > 0.0)
+    plan = _formatted(pages)
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(c_acctbal", plan), plan[:1500]
