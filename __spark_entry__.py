@@ -510,6 +510,23 @@ def q_webpages_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star flow END-TO-END through the resumable checkpoint
+    layer (plans/pipeline.py): pages → geotag georef → exact dedup →
+    text stats → 10°-tile geojoin rollup, every stage committed as an
+    Iceberg-style snapshot (parquet + atomically-renamed manifest with
+    per-partition lineage counts). The oracle replays the whole chain in
+    plain SQL, so this entry proves the checkpointed pipeline lands the
+    same integers as the unchunked declarative plan."""
+    import tempfile
+
+    from geotables_jl_spark.plans.pipeline import geotag_pipeline
+
+    root = tempfile.mkdtemp(prefix="gt_pipeline_")
+    tiles = geotag_pipeline(spark, root, sf_dir, run_id="driver")["tiles"]
+    return tiles.select("tile_id", "n_pages", "sum_tokens")  # lineage col stays in the snapshot
+
+
 def q_geojoin_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     """geojoin across CRS codes: right table georef'd in EPSG:3857
     (WebMercator meters), left 10° tiles in EPSG:4326 — geojoin
@@ -784,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "webpages_tiles": q_webpages_tiles,
+        "pipeline_tiles": q_pipeline_tiles,
         "geojoin_reproject": q_geojoin_reproject,
         "geojoin_holes": q_geojoin_holes,
         "quantile_rank": q_quantile_rank,
@@ -1114,6 +1132,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor((lat+90.0)/10.0) AS BIGINT)*36 + CAST(floor((lon+180.0)/10.0) AS BIGINT) AS tile_id,
                    count(*) AS n_pages, min(url) AS min_url
             FROM pages GROUP BY 1
+        """,
+        "pipeline_tiles": f"""
+            WITH pages AS ({_SQL_PAGES}),
+            kept AS (
+              SELECT p.* FROM pages p
+              JOIN (SELECT text, min(doc_id) AS doc_id FROM pages GROUP BY text) k
+                ON p.text = k.text AND p.doc_id = k.doc_id
+            )
+            SELECT CAST(floor((lat+90.0)/10.0) AS BIGINT)*36 + CAST(floor((lon+180.0)/10.0) AS BIGINT) AS tile_id,
+                   count(*) AS n_pages,
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS sum_tokens
+            FROM kept GROUP BY 1
         """,
         "geojoin_reproject": """
             WITH pts AS (

@@ -193,8 +193,18 @@ def main() -> None:
         "Generated by `tools/scaling_bench.py`; per-query wall times at sf0.1\n"
         "come from `bench.py` (one JSON line).\n"
     )
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # BENCH.md is curated evidence (stable-window run + reproducibility
+    # notes) — never clobber it from an automated run. A run only
+    # qualifies to replace the table when its own pre/post calibrations
+    # agree within 10% (the documented acceptance criterion); even then,
+    # write the candidate next to it for a human diff.
+    pre_cpu, post_cpu = hw_ratio_pre[0], hw_ratio_post[0]
+    stable = abs(pre_cpu - post_cpu) / max(pre_cpu, post_cpu) <= 0.10
+    out_name = "BENCH_CANDIDATE.md" if stable else "BENCH_UNSTABLE.md"
+    with open(os.path.join(REPO, out_name), "w") as f:
         f.write(md)
+    summary["stable_probes"] = stable
+    summary["written_to"] = out_name
     print(json.dumps(summary))
 
 
