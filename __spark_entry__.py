@@ -421,6 +421,19 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts (GPT-2 pattern sans whitespace runs,
+    lookahead-free so Java regex and DuckDB's RE2 agree match-for-match)
+    next to whitespace counts — the LLM-pipeline token estimate."""
+    doc = _docs(spark, sf_dir)
+    t = F.col("text")
+    return doc.select(
+        "doc_id",
+        TS.token_count(t).cast("long").alias("n_ws"),
+        TS.bpe_token_count(t).cast("long").alias("n_bpe"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = _docs(spark, sf_dir)
     return doc.select("doc_id", TS.lang_id(F.col("text")).alias("lang_pred"))
@@ -790,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stdfeats": q_stdfeats,
         "spatial_select": q_spatial_select,
         "text_stats": q_text_stats,
+        "bpe_tokens": q_bpe_tokens,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -1013,6 +1027,14 @@ def oracle_sql() -> dict[str, str]:
         "spatial_select": f"""
             SELECT c_custkey FROM (SELECT c_custkey, {SQL_CX} AS cx, {SQL_CY} AS cy FROM customer)
             WHERE cx >= -50.0 AND cx <= 50.0 AND cy >= -50.0 AND cy <= 50.0
+        """,
+        "bpe_tokens": """
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_ws,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')) AS BIGINT) AS n_bpe
+            FROM documents
         """,
         "text_stats": f"""
             SELECT doc_id, n_tokens, n_chars_txt,

@@ -42,6 +42,29 @@ def token_count(text: Column) -> Column:
     return F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(tokens(text)))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs RE2 also
+# supports (no lookahead): contractions, space-prefixed letter runs,
+# space-prefixed digit runs, space-prefixed punctuation runs. Whitespace
+# itself is not a token (the lookahead-based whitespace merging of the
+# original pattern only affects whitespace tokens, which BPE counters
+# ignore anyway). Alternation order matters and is identical under
+# Java's leftmost-first and RE2's leftmost-first semantics.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """Array of BPE-ish pre-tokens (GPT-2 pattern sans whitespace runs)."""
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Number of BPE-ish pre-tokens — the LLM-pipeline token estimate
+    (whitespace tokenization undercounts punctuation-heavy web text).
+    Pure JVM regexp, map-only at any scale; ANSI-replicable (DuckDB
+    ``len(regexp_extract_all(...))`` with the identical pattern)."""
+    return F.size(bpe_tokens(text))
+
+
 def _count_in(arr: Column, words: list[str]) -> Column:
     lit_arr = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(arr, lambda t: F.array_contains(lit_arr, F.lower(t))))

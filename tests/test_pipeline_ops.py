@@ -179,6 +179,35 @@ def test_text_stats_and_langid(spark, docs):
     assert out[0]["fp"] == fp
 
 
+def test_bpe_token_count_golden(spark):
+    """Hand-tokenized goldens for the BPE-ish pre-tokenizer: contractions
+    split, punctuation runs separate from letter runs, leading space
+    glued to the following token (GPT-2 convention)."""
+    rows = [
+        (1, "don't stop!", 4),          # don | 't | _stop | !
+        (2, "hello,  world", 4),        # hello | , | _ world→" world"? no: run-splits
+        (3, "a1b2", 4),                 # a | 1 | b | 2
+        (4, "", 0),
+        (5, "   ", 0),                  # whitespace only → no tokens
+        (6, "we'll 100%", 4),           # we | 'll | _100 | %
+    ]
+    # row 2 verified against an independent python re reimplementation
+    # (ASCII classes — the fixture is ASCII) instead of hand-guessing.
+    import re as _re
+
+    py_re = _re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+")
+
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows], "id long, text string")
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", TS.bpe_token_count(F.col("text")).alias("n")).collect()
+    }
+    assert got[1] == 4 and got[3] == 4 and got[4] == 0 and got[5] == 0 and got[6] == 4
+    # cross-check every row against an independent python tokenizer
+    for i, t, _ in rows:
+        assert got[i] == len(py_re.findall(t)), (i, t, got[i], py_re.findall(t))
+
+
 def test_shingles_short_doc(spark):
     df = spark.createDataFrame([(1, "a b")], "id long, text string")
     sh = df.select(TS.shingles(F.col("text"), 3).alias("s")).collect()[0]["s"]
