@@ -23,6 +23,8 @@ from geotables_jl_spark.core.geotable import GeoTable, georef, georef_grid
 from geotables_jl_spark.functions.crs import canonical_crs, parse_crs, reproject
 from geotables_jl_spark.operators.geojoin import geojoin, knn_join
 from geotables_jl_spark.operators.tablejoin import tablejoin
+from geotables_jl_spark.plans.checkpoint import Checkpointer
+from geotables_jl_spark.plans.pipeline import Pipeline, geotag_pipeline
 from geotables_jl_spark.sources.geoparquet import read_geoparquet, write_geoparquet
 
 __all__ = [
@@ -37,6 +39,9 @@ __all__ = [
     "canonical_crs",
     "read_geoparquet",
     "write_geoparquet",
+    "Checkpointer",
+    "Pipeline",
+    "geotag_pipeline",
 ]
 
 __version__ = "0.1.0"
