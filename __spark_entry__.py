@@ -633,6 +633,23 @@ def q_partition_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot dedup: latest capture per canonical host (max
+    warc_ts, min doc_id tiebreak) + capture count — ONE map-side-
+    combinable groupBy over a lexicographic max-struct, no window/self-
+    join. The oracle replays it as a SQL window rank."""
+    from geotables_jl_spark.sources.webpages import latest_snapshot_per_key, url_host
+
+    pages = webpages_from_documents(spark, sf_dir)
+    latest = latest_snapshot_per_key(pages, url_host(F.col("url")))
+    return latest.select(
+        F.col("key").alias("host"),
+        F.col("latest_ts").cast("long").alias("latest_ts_epoch"),
+        F.col("latest_id").alias("latest_doc"),
+        F.col("n_captures").cast("long").alias("n_pages"),
+    )
+
+
 def q_webpages_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = webpages_from_documents(spark, sf_dir)
     return pages.select(
@@ -821,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_rank": q_quantile_rank,
         "partition_direction": q_partition_direction,
         "webpages_identity": q_webpages_identity,
+        "dedup_url": q_dedup_url,
         "multimodal_meta": q_multimodal_meta,
         "feature_zscore": q_feature_zscore,
         "learn_ols": q_learn_ols,
@@ -1211,6 +1229,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey,
                    CAST(ntile(7) OVER (ORDER BY cx*1.0 + cy*0.5, c_custkey) - 1 AS BIGINT) AS bin
             FROM pts
+        """,
+        "dedup_url": f"""
+            WITH pages AS ({_SQL_PAGES}),
+            c AS (
+              SELECT doc_id, ts_epoch,
+                     regexp_replace(lower(regexp_extract(
+                       regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://', ''),
+                       '^([^/]*)', 1)), '^www\\.', '') AS host
+              FROM pages
+            ),
+            r AS (
+              SELECT host, doc_id, ts_epoch,
+                     row_number() OVER (PARTITION BY host ORDER BY ts_epoch DESC, doc_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY host) AS n
+              FROM c
+            )
+            SELECT host, CAST(ts_epoch AS BIGINT) AS latest_ts_epoch,
+                   doc_id AS latest_doc, CAST(n AS BIGINT) AS n_pages
+            FROM r WHERE rn = 1
         """,
         "webpages_identity": f"""
             WITH pages AS ({_SQL_PAGES})

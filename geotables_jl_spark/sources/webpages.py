@@ -109,6 +109,47 @@ def extract_geotags(pages: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("lon", F.when(ilon != "", ilon.cast("long") / F.lit(10000.0)))
 
 
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a crawl URL: scheme stripped, query/fragment
+    dropped, host lowercased with a leading ``www.`` removed, trailing
+    slash trimmed. Pure JVM regexp (map-only at any scale); every step
+    is ANSI-replicable (identical patterns run in DuckDB's RE2)."""
+    u = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "")
+    u = F.regexp_replace(u, r"[#?].*$", "")
+    host = F.regexp_replace(F.lower(F.regexp_extract(u, r"^([^/]*)", 1)), r"^www\.", "")
+    path = F.regexp_replace(F.regexp_replace(u, r"^[^/]*", ""), r"/$", "")
+    return F.concat(host, path)
+
+
+def url_host(url: Column) -> Column:
+    """Canonical host of a crawl URL (see :func:`canonical_url`)."""
+    u = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "")
+    return F.regexp_replace(F.lower(F.regexp_extract(u, r"^([^/]*)", 1)), r"^www\.", "")
+
+
+def latest_snapshot_per_key(
+    pages: DataFrame, key: Column, ts_col: str = "warc_ts", id_col: str = "row_id"
+) -> DataFrame:
+    """Crawl-snapshot dedup: one row per key — the LATEST capture
+    (max ``ts_col``, ties broken by min ``id_col``) plus the capture
+    count. ONE map-side-combinable groupBy (max over a lexicographic
+    struct — no window, no self-join): the 100 TB shape for
+    keep-newest-per-url/host dedup over rolling crawl dumps."""
+    m = F.max(
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            (-F.col(id_col)).alias("nid"),
+        )
+    ).alias("m")
+    out = pages.groupBy(key.alias("key")).agg(m, F.count(F.lit(1)).alias("n_captures"))
+    return out.select(
+        "key",
+        F.col("m.ts").alias("latest_ts"),
+        (-F.col("m.nid")).alias("latest_id"),
+        "n_captures",
+    )
+
+
 def extract_text(pages: DataFrame, html_col: str = "html", out_col: str = "text_extracted") -> DataFrame:
     """html binary → extracted text, deterministically.
 

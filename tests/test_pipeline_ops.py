@@ -208,6 +208,51 @@ def test_bpe_token_count_golden(spark):
         assert got[i] == len(py_re.findall(t)), (i, t, got[i], py_re.findall(t))
 
 
+def test_canonical_url_and_latest_snapshot(spark):
+    from geotables_jl_spark.sources.webpages import (
+        canonical_url,
+        latest_snapshot_per_key,
+        url_host,
+    )
+
+    rows = [
+        (1, "https://WWW.Example.com/a/b?q=1#frag"),
+        (2, "http://example.com/a/b/"),
+        (3, "example.com/a/b"),            # scheme-less
+        (4, "https://other.org"),           # bare host, no path
+        (5, "ftp://www.other.org/x"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {
+        r["id"]: (r["c"], r["h"])
+        for r in df.select(
+            "id", canonical_url(F.col("url")).alias("c"), url_host(F.col("url")).alias("h")
+        ).collect()
+    }
+    # scheme/query/fragment/trailing-slash/www/case all normalize away
+    assert got[1] == ("example.com/a/b", "example.com")
+    assert got[1][0] == got[2][0] == got[3][0]
+    assert got[4] == ("other.org", "other.org")
+    assert got[5] == ("other.org/x", "other.org")
+
+    # latest snapshot per key: max ts wins; on tie the SMALLER id wins
+    snaps = spark.createDataFrame(
+        [
+            ("a", 10, 100),
+            ("a", 11, 200),  # latest
+            ("b", 20, 300),
+            ("b", 21, 300),  # tie → id 20 wins
+        ],
+        "host string, row_id long, warc_ts long",
+    )
+    out = {
+        r["key"]: (r["latest_id"], r["latest_ts"], r["n_captures"])
+        for r in latest_snapshot_per_key(snaps, F.col("host")).collect()
+    }
+    assert out["a"] == (11, 200, 2)
+    assert out["b"] == (20, 300, 2)
+
+
 def test_shingles_short_doc(spark):
     df = spark.createDataFrame([(1, "a b")], "id long, text string")
     sh = df.select(TS.shingles(F.col("text"), 3).alias("s")).collect()[0]["s"]
