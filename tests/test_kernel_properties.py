@@ -34,28 +34,45 @@ from geotables_jl_spark.sources.geoparquet import _decode_one, _encode_one
 
 
 @st.composite
-def star_ring(draw, cx_range=(-5.0, 5.0), r_range=(0.5, 2.0)):
-    """Flat open CCW ring of a random star-shaped (hence simple) polygon."""
+def star_ring_centered(draw, cx_range=(-5.0, 5.0), r_range=(0.5, 2.0)):
+    """(flat open CCW ring, (cx, cy)) of a random star-shaped (hence
+    simple) polygon, star-shaped ABOUT (cx, cy). Two hypothesis-found
+    pitfalls shape this generator: scaling about the VERTEX MEAN is not
+    containment-safe for a non-convex star (only the star center is),
+    and jitter must keep every consecutive angular gap < 180° — at
+    ±0.4·step a triangle's gap can reach 216°, which puts the center
+    OUTSIDE the polygon and voids star-shapedness entirely. ±0.2·step
+    bounds the gap at step·1.4 ≤ 168° for n ≥ 3."""
     n = draw(st.integers(min_value=3, max_value=12))
     cx = draw(st.floats(*cx_range, allow_nan=False, allow_infinity=False))
     cy = draw(st.floats(*cx_range, allow_nan=False, allow_infinity=False))
-    jitter = draw(st.lists(st.floats(-0.4, 0.4), min_size=n, max_size=n))
+    jitter = draw(st.lists(st.floats(-0.2, 0.2), min_size=n, max_size=n))
     radii = draw(st.lists(st.floats(*r_range), min_size=n, max_size=n))
     step = 2.0 * math.pi / n
     flat: list[float] = []
     for i in range(n):
         a = (i + jitter[i]) * step  # ascending angles → CCW, simple
         flat.extend((cx + radii[i] * math.cos(a), cy + radii[i] * math.sin(a)))
-    return flat
+    return flat, (cx, cy)
 
 
-def _scale_about_center(ring: list[float], s: float) -> list[float]:
+@st.composite
+def star_ring(draw, cx_range=(-5.0, 5.0), r_range=(0.5, 2.0)):
+    """Flat open CCW ring of a random star-shaped (hence simple) polygon."""
+    return draw(star_ring_centered(cx_range=cx_range, r_range=r_range))[0]
+
+
+def _scale_about(ring: list[float], s: float, cx: float, cy: float) -> list[float]:
     a = np.asarray(ring, dtype=np.float64)
-    cx, cy = a[0::2].mean(), a[1::2].mean()
     out = a.copy()
     out[0::2] = cx + (a[0::2] - cx) * s
     out[1::2] = cy + (a[1::2] - cy) * s
     return out.tolist()
+
+
+def _scale_about_center(ring: list[float], s: float) -> list[float]:
+    a = np.asarray(ring, dtype=np.float64)
+    return _scale_about(ring, s, float(a[0::2].mean()), float(a[1::2].mean()))
 
 
 def _translate(ring: list[float], tx: float, ty: float) -> list[float]:
@@ -152,9 +169,13 @@ def test_signed_area_orientation_and_translation(ring, tx, ty):
 
 
 @settings(max_examples=100, deadline=None)
-@given(ring=star_ring())
-def test_poly_containment_invariants(ring):
-    shrunk = _scale_about_center(ring, 0.5)
+@given(rc=star_ring_centered())
+def test_poly_containment_invariants(rc):
+    ring, (cx, cy) = rc
+    # shrinking about the STAR CENTER is containment-safe: every scaled
+    # vertex stays on its center ray at a fraction of its boundary
+    # distance (star-shapedness); the vertex mean would not be
+    shrunk = _scale_about(ring, 0.5, cx, cy)
     far = _translate(ring, 100.0, 0.0)  # diameter ≤ 4 ≪ 100 → disjoint
     assert poly_intersects_poly([ring], 3, [ring], 3)
     assert poly_within_poly([shrunk], 3, [ring], 3)
@@ -162,8 +183,9 @@ def test_poly_containment_invariants(ring):
     assert not poly_intersects_poly([ring], 3, [far], 3)
     assert not poly_within_poly([ring], 3, [far], 3)
     # a holed container no longer contains a probe poking into the hole
-    hole = _scale_about_center(ring, 0.6)
-    probe = _scale_about_center(ring, 0.3)  # strictly inside the hole
+    # (scaling about the center keeps probe ⊂ hole ⊂ ring similar stars)
+    hole = _scale_about(ring, 0.6, cx, cy)
+    probe = _scale_about(ring, 0.3, cx, cy)  # strictly inside the hole
     assert not poly_within_poly([probe], 3, [ring, hole], 3)
 
 
