@@ -277,6 +277,7 @@ def georef_grid(
     sy: float = 1.0,
     values: DataFrame | None = None,
     value_cols: list[str] | None = None,
+    crs: str = "Cartesian",
 ) -> GeoTable:
     """Lazy CartesianGrid relation (reference ``src/georef.jl:120-129``).
 
@@ -300,7 +301,11 @@ def georef_grid(
         vcols = value_cols or [c for c in values.columns if c != "cell_id"]
         df = df.join(values.select(F.col("cell_id").alias(ROW_ID), *vcols), on=ROW_ID, how="left")
     order = [ROW_ID] + [c for c in df.columns if c not in (ROW_ID, GEOM)] + [GEOM]
-    return GeoTable(df=df.select(*order), grid=GridMeta(nx=nx, ny=ny, ox=ox, oy=oy, sx=sx, sy=sy))
+    return GeoTable(
+        df=df.select(*order),
+        crs=_canon_crs(crs),
+        grid=GridMeta(nx=nx, ny=ny, ox=ox, oy=oy, sx=sx, sy=sy),
+    )
 
 
 def grid_view_box(gtb: GeoTable, x0: float, y0: float, x1: float, y1: float) -> GeoTable:
