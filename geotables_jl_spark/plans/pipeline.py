@@ -128,10 +128,10 @@ def geotag_pipeline(
     #    per-tile page count + token sum (broadcast tile side)
     def _tiles() -> DataFrame:
         pages = georef(out["stats"], coords=["lat", "lon"])
-        grid = georef_grid(spark, 36, 18, ox=-180.0, oy=-90.0, sx=10.0, sy=10.0)
+        grid = georef_grid(spark, 36, 18, ox=-180.0, oy=-90.0, sx=10.0, sy=10.0, crs="LatLon")
         tiles = GeoTable(
             df=grid.df.select(ROW_ID, F.col(ROW_ID).alias("tile_id"), GEOM),
-            crs="LatLon",
+            crs=grid.crs,
             grid=grid.grid,
         )
         pages = GeoTable(
