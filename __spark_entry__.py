@@ -242,11 +242,13 @@ def q_combine_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic uniform sample — no SQL oracle (hash-ranked), the
-    driver records the rows-only check; determinism across parallelism
-    is pytest-asserted."""
+    """Deterministic uniform sample, FULLY oracled: the md5 rank hash
+    (hex digest of ``row_id:seed``) is byte-identical in DuckDB, so the
+    exact sampled row set replays in SQL. The engine default stays the
+    compiled murmur3 rank (fast path, pytest-asserted deterministic
+    across parallelism)."""
     cust = _cust_points(spark, sf_dir, keep=[])
-    out = TR.sample(cust, 200, seed=7)
+    out = TR.sample(cust, 200, seed=7, rank_hash="md5")
     return out.df.select(F.col(ROW_ID).alias("c_custkey"))
 
 
@@ -1045,6 +1047,11 @@ def oracle_sql() -> dict[str, str]:
         "spatial_select": f"""
             SELECT c_custkey FROM (SELECT c_custkey, {SQL_CX} AS cx, {SQL_CY} AS cy FROM customer)
             WHERE cx >= -50.0 AND cx <= 50.0 AND cy >= -50.0 AND cy <= 50.0
+        """,
+        "sample_uniform": """
+            SELECT c_custkey FROM customer
+            ORDER BY md5(CAST(c_custkey AS VARCHAR) || ':7'), c_custkey
+            LIMIT 200
         """,
         "bpe_tokens": """
             SELECT doc_id,

@@ -289,11 +289,23 @@ def partition_hierarchical(gtb: GeoTable, coarse: float, fine: float) -> GeoTabl
     return gtb._with(gtb.df.withColumn(PARTITION_COL, pid.cast("long")))
 
 
-def sample_uniform(gtb: GeoTable, n: int, seed: int = 42) -> GeoTable:
+def sample_uniform(
+    gtb: GeoTable, n: int, seed: int = 42, rank_hash: str = "murmur3"
+) -> GeoTable:
     """UniformSampling(n) without replacement — deterministic: order by
     hash(row_id, seed), take n (TABLESAMPLE-style reservoir is not
-    deterministic across partitioning; rank-based is)."""
-    u = F.hash(F.col(ROW_ID), F.lit(seed))
+    deterministic across partitioning; rank-based is).
+
+    rank_hash: "murmur3" (default — Spark's compiled 32-bit hash, the
+    fast path) or "md5" (hex-digest rank over ``row_id:seed`` — slower,
+    but byte-identical in any engine with md5, so the sample itself is
+    ANSI-oracle-checkable; same top-n distribution properties)."""
+    if rank_hash == "murmur3":
+        u: F.Column = F.hash(F.col(ROW_ID), F.lit(seed))
+    elif rank_hash == "md5":
+        u = F.md5(F.concat(F.col(ROW_ID).cast("string"), F.lit(f":{int(seed)}")))
+    else:
+        raise ValueError(f"unknown rank_hash {rank_hash!r}")
     return gtb._with(gtb.df.orderBy(u, F.col(ROW_ID)).limit(n))
 
 

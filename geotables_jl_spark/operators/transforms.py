@@ -62,10 +62,10 @@ def sort_by(gtb: GeoTable, *cols, ascending: bool = True) -> GeoTable:
     return gtb._with(gtb.df.orderBy(*ordering, F.col(ROW_ID).asc()))
 
 
-def sample(gtb: GeoTable, n: int, seed: int = 42) -> GeoTable:
+def sample(gtb: GeoTable, n: int, seed: int = 42, rank_hash: str = "murmur3") -> GeoTable:
     from geotables_jl_spark.operators.indices import sample_uniform
 
-    return sample_uniform(gtb, n, seed)
+    return sample_uniform(gtb, n, seed, rank_hash=rank_hash)
 
 
 def dropmissing(gtb: GeoTable, *cols: str) -> GeoTable:
