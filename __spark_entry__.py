@@ -466,8 +466,13 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, FULLY oracled: the md5_60 hash family
+    (top 15 md5 hex chars as a 60-bit int) is byte-identical in DuckDB,
+    so the whole pipeline — shingling, bit votes, pigeonhole banding,
+    hamming verify — replays in SQL. Engine default stays xxhash64."""
     doc = _docs(spark, sf_dir)
-    return DD.simhash_pairs(doc, "doc_id", "text", max_hamming=3, shingle_n=2)
+    pairs = DD.simhash_pairs(doc, "doc_id", "text", max_hamming=3, shingle_n=2, hash_fn="md5_60")
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1047,6 +1052,88 @@ def oracle_sql() -> dict[str, str]:
         "spatial_select": f"""
             SELECT c_custkey FROM (SELECT c_custkey, {SQL_CX} AS cx, {SQL_CY} AS cy FROM customer)
             WHERE cx >= -50.0 AND cx <= 50.0 AND cy >= -50.0 AND cy <= 50.0
+        """,
+        "simhash": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t)-1, 1)+1),
+                       i -> array_to_string(t[i:i+1], ' ')))) AS s
+              FROM toks
+            ),
+            h AS (SELECT doc_id, ('0x' || substr(md5(s),1,15))::BIGINT AS h FROM sh),
+            v AS (SELECT doc_id, SUM(CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS v0,
+                     SUM(CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS v1,
+                     SUM(CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS v2,
+                     SUM(CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS v3,
+                     SUM(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS v4,
+                     SUM(CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS v5,
+                     SUM(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS v6,
+                     SUM(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS v7,
+                     SUM(CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS v8,
+                     SUM(CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS v9,
+                     SUM(CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS v10,
+                     SUM(CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS v11,
+                     SUM(CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS v12,
+                     SUM(CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS v13,
+                     SUM(CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS v14,
+                     SUM(CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS v15,
+                     SUM(CASE WHEN (h >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS v16,
+                     SUM(CASE WHEN (h >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS v17,
+                     SUM(CASE WHEN (h >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS v18,
+                     SUM(CASE WHEN (h >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS v19,
+                     SUM(CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS v20,
+                     SUM(CASE WHEN (h >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS v21,
+                     SUM(CASE WHEN (h >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS v22,
+                     SUM(CASE WHEN (h >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS v23,
+                     SUM(CASE WHEN (h >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS v24,
+                     SUM(CASE WHEN (h >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS v25,
+                     SUM(CASE WHEN (h >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS v26,
+                     SUM(CASE WHEN (h >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS v27,
+                     SUM(CASE WHEN (h >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS v28,
+                     SUM(CASE WHEN (h >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS v29,
+                     SUM(CASE WHEN (h >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS v30,
+                     SUM(CASE WHEN (h >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS v31,
+                     SUM(CASE WHEN (h >> 32) & 1 = 1 THEN 1 ELSE -1 END) AS v32,
+                     SUM(CASE WHEN (h >> 33) & 1 = 1 THEN 1 ELSE -1 END) AS v33,
+                     SUM(CASE WHEN (h >> 34) & 1 = 1 THEN 1 ELSE -1 END) AS v34,
+                     SUM(CASE WHEN (h >> 35) & 1 = 1 THEN 1 ELSE -1 END) AS v35,
+                     SUM(CASE WHEN (h >> 36) & 1 = 1 THEN 1 ELSE -1 END) AS v36,
+                     SUM(CASE WHEN (h >> 37) & 1 = 1 THEN 1 ELSE -1 END) AS v37,
+                     SUM(CASE WHEN (h >> 38) & 1 = 1 THEN 1 ELSE -1 END) AS v38,
+                     SUM(CASE WHEN (h >> 39) & 1 = 1 THEN 1 ELSE -1 END) AS v39,
+                     SUM(CASE WHEN (h >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS v40,
+                     SUM(CASE WHEN (h >> 41) & 1 = 1 THEN 1 ELSE -1 END) AS v41,
+                     SUM(CASE WHEN (h >> 42) & 1 = 1 THEN 1 ELSE -1 END) AS v42,
+                     SUM(CASE WHEN (h >> 43) & 1 = 1 THEN 1 ELSE -1 END) AS v43,
+                     SUM(CASE WHEN (h >> 44) & 1 = 1 THEN 1 ELSE -1 END) AS v44,
+                     SUM(CASE WHEN (h >> 45) & 1 = 1 THEN 1 ELSE -1 END) AS v45,
+                     SUM(CASE WHEN (h >> 46) & 1 = 1 THEN 1 ELSE -1 END) AS v46,
+                     SUM(CASE WHEN (h >> 47) & 1 = 1 THEN 1 ELSE -1 END) AS v47,
+                     SUM(CASE WHEN (h >> 48) & 1 = 1 THEN 1 ELSE -1 END) AS v48,
+                     SUM(CASE WHEN (h >> 49) & 1 = 1 THEN 1 ELSE -1 END) AS v49,
+                     SUM(CASE WHEN (h >> 50) & 1 = 1 THEN 1 ELSE -1 END) AS v50,
+                     SUM(CASE WHEN (h >> 51) & 1 = 1 THEN 1 ELSE -1 END) AS v51,
+                     SUM(CASE WHEN (h >> 52) & 1 = 1 THEN 1 ELSE -1 END) AS v52,
+                     SUM(CASE WHEN (h >> 53) & 1 = 1 THEN 1 ELSE -1 END) AS v53,
+                     SUM(CASE WHEN (h >> 54) & 1 = 1 THEN 1 ELSE -1 END) AS v54,
+                     SUM(CASE WHEN (h >> 55) & 1 = 1 THEN 1 ELSE -1 END) AS v55,
+                     SUM(CASE WHEN (h >> 56) & 1 = 1 THEN 1 ELSE -1 END) AS v56,
+                     SUM(CASE WHEN (h >> 57) & 1 = 1 THEN 1 ELSE -1 END) AS v57,
+                     SUM(CASE WHEN (h >> 58) & 1 = 1 THEN 1 ELSE -1 END) AS v58,
+                     SUM(CASE WHEN (h >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS v59
+                  FROM h GROUP BY doc_id),
+            sig AS (SELECT doc_id, (CASE WHEN v0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN v1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN v2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN v3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN v4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN v5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN v6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN v7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN v8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN v9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN v10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN v11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN v12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN v13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN v14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN v15 > 0 THEN 32768 ELSE 0 END) + (CASE WHEN v16 > 0 THEN 65536 ELSE 0 END) + (CASE WHEN v17 > 0 THEN 131072 ELSE 0 END) + (CASE WHEN v18 > 0 THEN 262144 ELSE 0 END) + (CASE WHEN v19 > 0 THEN 524288 ELSE 0 END) + (CASE WHEN v20 > 0 THEN 1048576 ELSE 0 END) + (CASE WHEN v21 > 0 THEN 2097152 ELSE 0 END) + (CASE WHEN v22 > 0 THEN 4194304 ELSE 0 END) + (CASE WHEN v23 > 0 THEN 8388608 ELSE 0 END) + (CASE WHEN v24 > 0 THEN 16777216 ELSE 0 END) + (CASE WHEN v25 > 0 THEN 33554432 ELSE 0 END) + (CASE WHEN v26 > 0 THEN 67108864 ELSE 0 END) + (CASE WHEN v27 > 0 THEN 134217728 ELSE 0 END) + (CASE WHEN v28 > 0 THEN 268435456 ELSE 0 END) + (CASE WHEN v29 > 0 THEN 536870912 ELSE 0 END) + (CASE WHEN v30 > 0 THEN 1073741824 ELSE 0 END) + (CASE WHEN v31 > 0 THEN 2147483648 ELSE 0 END) + (CASE WHEN v32 > 0 THEN 4294967296 ELSE 0 END) + (CASE WHEN v33 > 0 THEN 8589934592 ELSE 0 END) + (CASE WHEN v34 > 0 THEN 17179869184 ELSE 0 END) + (CASE WHEN v35 > 0 THEN 34359738368 ELSE 0 END) + (CASE WHEN v36 > 0 THEN 68719476736 ELSE 0 END) + (CASE WHEN v37 > 0 THEN 137438953472 ELSE 0 END) + (CASE WHEN v38 > 0 THEN 274877906944 ELSE 0 END) + (CASE WHEN v39 > 0 THEN 549755813888 ELSE 0 END) + (CASE WHEN v40 > 0 THEN 1099511627776 ELSE 0 END) + (CASE WHEN v41 > 0 THEN 2199023255552 ELSE 0 END) + (CASE WHEN v42 > 0 THEN 4398046511104 ELSE 0 END) + (CASE WHEN v43 > 0 THEN 8796093022208 ELSE 0 END) + (CASE WHEN v44 > 0 THEN 17592186044416 ELSE 0 END) + (CASE WHEN v45 > 0 THEN 35184372088832 ELSE 0 END) + (CASE WHEN v46 > 0 THEN 70368744177664 ELSE 0 END) + (CASE WHEN v47 > 0 THEN 140737488355328 ELSE 0 END) + (CASE WHEN v48 > 0 THEN 281474976710656 ELSE 0 END) + (CASE WHEN v49 > 0 THEN 562949953421312 ELSE 0 END) + (CASE WHEN v50 > 0 THEN 1125899906842624 ELSE 0 END) + (CASE WHEN v51 > 0 THEN 2251799813685248 ELSE 0 END) + (CASE WHEN v52 > 0 THEN 4503599627370496 ELSE 0 END) + (CASE WHEN v53 > 0 THEN 9007199254740992 ELSE 0 END) + (CASE WHEN v54 > 0 THEN 18014398509481984 ELSE 0 END) + (CASE WHEN v55 > 0 THEN 36028797018963968 ELSE 0 END) + (CASE WHEN v56 > 0 THEN 72057594037927936 ELSE 0 END) + (CASE WHEN v57 > 0 THEN 144115188075855872 ELSE 0 END) + (CASE WHEN v58 > 0 THEN 288230376151711744 ELSE 0 END) + (CASE WHEN v59 > 0 THEN 576460752303423488 ELSE 0 END) AS sim FROM v),
+            ch AS (SELECT doc_id, sim, c, (sim >> (c*15)) & 32767 AS key
+                   FROM sig, (SELECT unnest([0,1,2,3]) AS c)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS sa, b.sim AS sb
+              FROM ch a JOIN ch b ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         """,
         "sample_uniform": """
             SELECT c_custkey FROM customer

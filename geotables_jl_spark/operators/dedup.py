@@ -274,29 +274,48 @@ def _bit_lit(b: int) -> Column:
     return F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
 
 
+def _sim_nbits(hash_fn: str) -> int:
+    if hash_fn == "xxhash64":
+        return 64
+    if hash_fn == "md5_60":
+        return 60
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 2
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 2, hash_fn: str = "xxhash64"
 ) -> DataFrame:
-    """(__id, __sim) 64-bit SimHash per doc — all compiled JVM column math.
+    """(__id, __sim) SimHash per doc — all compiled JVM column math.
 
     Scale-shaped plan (same as MinHash): explode shingles → one
-    codegen'd xxhash64 per shingle row → 64 static ±1 vote columns
+    codegen'd hash per shingle row → one static ±1 vote column per bit
     (shift/mask with constant bit positions) → map-side-combinable
-    ``groupBy(id).agg(sum...)`` → sign of each vote sets one bit."""
+    ``groupBy(id).agg(sum...)`` → sign of each vote sets one bit.
+
+    hash_fn: "xxhash64" (default, 64-bit compiled JVM hash) or "md5_60"
+    (top 15 hex chars of md5 as a 60-bit int — ~2× the hashing cost but
+    byte-identical in any engine with md5/conv, so the whole SimHash
+    pipeline becomes ANSI-oracle-checkable)."""
+    nbits = _sim_nbits(hash_fn)
     sh = df.select(
         F.col(id_col).alias("__id"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
     )
-    h = sh.withColumn("__h", F.xxhash64("__sh"))
+    if hash_fn == "xxhash64":
+        h = sh.withColumn("__h", F.xxhash64("__sh"))
+    else:
+        h = sh.withColumn(
+            "__h", F.conv(F.substring(F.md5("__sh"), 1, 15), 16, 10).cast("long")
+        )
     votes = [
         F.sum(
             F.when(F.shiftrightunsigned(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{b}")
-        for b in range(64)
+        for b in range(nbits)
     ]
     agg = h.groupBy("__id").agg(*votes)
     sim = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(nbits):
         sim = sim.bitwiseOR(F.when(F.col(f"v{b}") > 0, _bit_lit(b)).otherwise(F.lit(0).cast("long")))
     return agg.select("__id", sim.alias("__sim"))
 
@@ -307,17 +326,18 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     shingle_n: int = 2,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
 
-    Banding by pigeonhole: split the 64-bit hash into ``max_hamming + 1``
+    Banding by pigeonhole: split the hash into ``max_hamming + 1``
     chunks; any pair within the distance budget agrees exactly on at
     least one chunk → equi-join per chunk, verify with bit_count(xor).
     Output: (id_a, id_b, hamming).
     """
     nchunks = max_hamming + 1
-    width = 64 // nchunks
-    sig = simhash_signatures(df, id_col, text_col, shingle_n)
+    width = _sim_nbits(hash_fn) // nchunks
+    sig = simhash_signatures(df, id_col, text_col, shingle_n, hash_fn=hash_fn)
     chunk_structs = F.array(
         *[
             F.struct(
