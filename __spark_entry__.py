@@ -904,6 +904,61 @@ _SQL_PAGES = f"""
 """
 
 
+def _ann_lsh_oracle_sql() -> str:
+    """DuckDB replay of q_ann_lsh: the 12 gaussian hyperplanes are
+    embedded as full-precision literals (same numpy seed/order as
+    ann_lsh_topk), bucket bits are signs of list_dot_product folds
+    (bit-identical to the engine's sequential dim-by-dim accumulation,
+    same parity argument as the IVF oracle), multi-probe = hamming-1
+    bucket flips, exact rerank + rank window as in ann_cosine."""
+    import numpy as np
+
+    planes, dim = 12, 64  # dim is fixed across all sf fixtures
+    H = np.random.default_rng(42).standard_normal((planes, dim))
+    rows = ",\n              ".join(
+        "(" + str(p) + ", [" + ", ".join(repr(float(x)) for x in H[p]) + "])"
+        for p in range(planes)
+    )
+    return f"""
+            WITH planes AS (
+              SELECT * FROM (VALUES
+              {rows}
+              ) AS t(p, h)
+            ),
+            bkt AS (
+              SELECT v.vec_id, v.embedding,
+                     CAST(SUM(CASE WHEN list_dot_product(CAST(v.embedding AS DOUBLE[]), pl.h) >= 0
+                              THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS b
+              FROM embeddings v CROSS JOIN planes pl
+              GROUP BY v.vec_id, v.embedding
+            ),
+            q AS (SELECT vec_id AS query_id, embedding AS qv, b AS qb FROM bkt WHERE vec_id < 10),
+            probes AS (
+              SELECT query_id, qv, unnest([qb] || list_transform(range(0, 12), p -> xor(qb, (1::BIGINT) << p))) AS pb
+              FROM q
+            ),
+            cand AS (
+              SELECT DISTINCT pr.query_id, c.vec_id AS neighbor_id, pr.qv, c.embedding AS cv
+              FROM probes pr JOIN bkt c ON c.b = pr.pb
+              WHERE c.vec_id <> pr.query_id
+            ),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     list_dot_product(CAST(cv AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))) AS cosine
+              FROM cand
+            ),
+            r AS (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM scored
+            )
+            SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, round(cosine, 6) AS cosine
+            FROM r WHERE rnk <= 5
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     tri = _sql_halfplanes(POLY_TRI, "cx", "cy")
     dia = _sql_halfplanes(POLY_DIA, "cx", "cy")
@@ -1135,6 +1190,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
             FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         """,
+        "ann_lsh": _ann_lsh_oracle_sql(),
         "sample_uniform": """
             SELECT c_custkey FROM customer
             ORDER BY md5(CAST(c_custkey AS VARCHAR) || ':7'), c_custkey
