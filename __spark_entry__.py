@@ -118,16 +118,26 @@ def q_geojoin_tiles_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_geojoin_tiles_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean balance per tile in EXACT integer arithmetic: float mean is
+    summation-order-dependent, and even with an exact cents sum the
+    final round(…, 4) diverges between engines on .xxxx5 ties (Spark
+    HALF_UPs the shortest decimal repr via Double.toString, DuckDB
+    rounds the exact binary value — found at sf0.1, tile 88). So the
+    aggregate sums round(bal*100) longs and the mean is emitted in
+    1e-4-dollar units via integer division — engine-independent by
+    construction at any scale."""
     cust = _cust_points(spark, sf_dir, keep=["c_acctbal"])
     cust = GeoTable(
-        df=cust.df.withColumn("page_id", F.col(ROW_ID)).select(ROW_ID, "page_id", "c_acctbal", GEOM),
+        df=cust.df.withColumn("page_id", F.col(ROW_ID))
+        .withColumn("bal_cents", F.round(F.col("c_acctbal") * 100).cast("long"))
+        .select(ROW_ID, "page_id", "bal_cents", GEOM),
         crs=cust.crs,
     )
-    res = geojoin(_tiles(spark), cust, aggs={"page_id": "count", "c_acctbal": "mean"}, kind="inner")
+    res = geojoin(_tiles(spark), cust, aggs={"page_id": "count", "bal_cents": "sum"}, kind="inner")
     return res.df.select(
         "tile_id",
         F.col("page_id").cast("long").alias("n_pts"),
-        F.round(F.col("c_acctbal"), 4).alias("avg_bal"),
+        F.expr("(bal_cents * 100) div page_id").alias("avg_bal_e4"),
     )
 
 
@@ -976,7 +986,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "geojoin_tiles_inner": f"""
             SELECT {SQL_TILE_FROM_CXY} AS tile_id,
-                   count(*) AS n_pts, round(avg(c_acctbal), 4) AS avg_bal
+                   count(*) AS n_pts,
+                   (SUM(CAST(round(c_acctbal*100) AS BIGINT)) * 100) // count(*) AS avg_bal_e4
             FROM (SELECT c_custkey, c_acctbal, {SQL_CX} AS cx, {SQL_CY} AS cy FROM customer)
             GROUP BY 1
         """,
