@@ -820,6 +820,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojoin_within": q_geojoin_within,
         "geojoin_knn": q_geojoin_knn,
         "tablejoin_orders": q_tablejoin_orders,
+        # NOTE: CORRECTNESS_r02 recorded exactly 50 of 51 registry entries
+        # and the missing one (tablejoin_aggs) was the 51st dict entry —
+        # evidence of a driver-side 50-entry cap.  Order therefore matters:
+        # tablejoin_aggs lives up here now, and the entry whose unique
+        # coverage is smallest (webpages_identity — webpages_extract_text
+        # already gates the byte-identical text invariant on the same
+        # table) sits last, so a cap drops it and nothing else.
+        "tablejoin_aggs": q_tablejoin_aggs,
         "groupby_combine": q_groupby_combine,
         "combine_multi": q_combine_multi,
         "sample_uniform": q_sample_uniform,
@@ -854,7 +862,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojoin_holes": q_geojoin_holes,
         "quantile_rank": q_quantile_rank,
         "partition_direction": q_partition_direction,
-        "webpages_identity": q_webpages_identity,
         "dedup_url": q_dedup_url,
         "multimodal_meta": q_multimodal_meta,
         "feature_zscore": q_feature_zscore,
@@ -864,7 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dropextrema": q_dropextrema,
         "minmax_scale": q_minmax_scale,
         "interquartile": q_interquartile,
-        "tablejoin_aggs": q_tablejoin_aggs,
+        "webpages_identity": q_webpages_identity,
     }
 
 
@@ -987,7 +994,7 @@ def oracle_sql() -> dict[str, str]:
         "geojoin_tiles_inner": f"""
             SELECT {SQL_TILE_FROM_CXY} AS tile_id,
                    count(*) AS n_pts,
-                   (SUM(CAST(round(c_acctbal*100) AS BIGINT)) * 100) // count(*) AS avg_bal_e4
+                   CAST((SUM(CAST(round(c_acctbal*100) AS BIGINT)) * 100) // count(*) AS BIGINT) AS avg_bal_e4
             FROM (SELECT c_custkey, c_acctbal, {SQL_CX} AS cx, {SQL_CY} AS cy FROM customer)
             GROUP BY 1
         """,

@@ -234,11 +234,29 @@ def georef(
             raise ValueError(f"georef: coordinate columns not found: {missing}")
         lat = next((c for c in names if _variants_match(c, _LAT_NAMES)), None)
         lon = next((c for c in names if _variants_match(c, _LON_NAMES)), None)
-        if crs is None and len(names) == 2 and lat is not None and lon is not None:
+        canon = _canon_crs(crs) if crs is not None else None
+        if (crs is None or canon == "LatLon") and len(names) == 2 and lat is not None and lon is not None:
+            # x=lon, y=lat regardless of column order; CRS order is
+            # (lat, lon).  Applies both when the CRS is guessed from the
+            # names AND when the caller passes crs='EPSG:4326'/'LatLon'
+            # explicitly — otherwise the same data georef'd with vs
+            # without the explicit crs would store mirrored geometry
+            # that the CRS registry (x=lon convention) then reprojects
+            # silently wrong.
             guessed = "LatLon"
-            x_col, y_col = lon, lat  # x=lon, y=lat; CRS order is (lat, lon)
+            x_col, y_col = lon, lat
+        elif canon == "LatLon":
+            # Explicit LatLon but the column names can't be
+            # disambiguated (e.g. ['a','b']): refusing beats guessing —
+            # a swapped axis order survives every later operation
+            # undetected until the map is mirrored.
+            raise ValueError(
+                "georef: crs=LatLon requires exactly two coordinate columns "
+                f"recognizable as lat/lon (got {names}); rename the columns "
+                "or drop the explicit crs"
+            )
         else:
-            guessed = _canon_crs(crs or "Cartesian")
+            guessed = canon or "Cartesian"
             x_col, y_col = names[0], names[1]
         out = df.withColumn(GEOM, st_point(F.col(x_col), F.col(y_col))).drop(*names)
         if guessed == "LatLon" and lenunit is not None:

@@ -356,3 +356,34 @@ def test_georef_validation_errors(spark):
         georef(ll, coords=["lat", "lon"], lenunit="km")
     # Cartesian lenunit is fine
     assert georef(df, coords=["x", "y"], lenunit="mm").lenunit == "mm"
+
+
+def test_georef_explicit_latlon_axis_order(spark):
+    """ADVICE r2 (medium): georef with an EXPLICIT LatLon crs must apply
+    the same x=lon/y=lat axis-order fix as the name-guessed path —
+    otherwise georef(df, ['lat','lon']) and
+    georef(df, ['lat','lon'], crs='EPSG:4326') store mirrored geometry
+    and the CRS registry (x=lon convention) reprojects silently wrong.
+    Undisambiguable names + explicit LatLon must raise, not guess."""
+    import pytest as _pytest
+
+    from geotables_jl_spark.core.geotable import georef
+
+    ll = spark.createDataFrame([(0, 10.0, 20.0)], "row_id long, lat double, lon double")
+    implicit = georef(ll, coords=["lat", "lon"]).df.select("geometry.x", "geometry.y").first()
+    for crs in ("LatLon", "EPSG:4326"):
+        explicit = (
+            georef(ll, coords=["lat", "lon"], crs=crs)
+            .df.select("geometry.x", "geometry.y")
+            .first()
+        )
+        assert (explicit.x, explicit.y) == (implicit.x, implicit.y) == (20.0, 10.0)
+    # column order must not matter when names disambiguate
+    swapped = georef(ll, coords=["lon", "lat"], crs="LatLon").df.select(
+        "geometry.x", "geometry.y"
+    ).first()
+    assert (swapped.x, swapped.y) == (20.0, 10.0)
+
+    xy = spark.createDataFrame([(0, 10.0, 20.0)], "row_id long, a double, b double")
+    with _pytest.raises(ValueError, match="lat/lon"):
+        georef(xy, coords=["a", "b"], crs="LatLon")

@@ -78,6 +78,15 @@ def main() -> int:
             continue
         bad, maxdiff = _compare(srows, orows)
         if bad is None:
+            # Driver-parity dtype check (r2 lesson: the driver hashes
+            # pandas REPRESENTATIONS, so DuckDB HUGEINT→float64 vs Spark
+            # BIGINT→int64 is a hash mismatch even when values are
+            # bit-identical — geojoin_tiles_inner went red that way).
+            kind_bad = _dtype_kinds_mismatch(sdf, con, oracles[name], scols)
+            if kind_bad:
+                print(f"FAIL {name}: pandas dtype-kind mismatch {kind_bad} (values equal — driver would hash-mismatch)")
+                failures.append(name)
+                continue
             print(f"PASS {name}: {len(srows)} rows, maxfloatdiff={maxdiff:.2e}")
         else:
             print(f"FAIL {name}: first mismatch at row {bad}:")
@@ -91,6 +100,28 @@ def main() -> int:
         return 1
     print("ALL MATCH")
     return 0
+
+
+def _dtype_kinds_mismatch(sdf, con, oracle, scols):
+    """Compare pandas dtype KINDS (i/f/b/O/M) column-by-column between
+    Spark's toPandas() and DuckDB's .df() — the representations the
+    driver hashes. Columns that contain nulls are skipped (both engines
+    promote nullable ints inconsistently; the value compare already
+    covers them)."""
+    spdf = sdf.toPandas()
+    opdf = con.sql(oracle).df()
+    bad = []
+    for c in scols:
+        if c not in opdf.columns:
+            continue
+        if spdf[c].isnull().any() or opdf[c].isnull().any():
+            continue
+        sk, ok = spdf[c].dtype.kind, opdf[c].dtype.kind
+        if sk in ("i", "u") and ok in ("i", "u"):
+            continue
+        if sk != ok:
+            bad.append(f"{c}: spark {spdf[c].dtype} vs duckdb {opdf[c].dtype}")
+    return bad
 
 
 def _key(row):

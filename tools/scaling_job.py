@@ -80,9 +80,11 @@ def run_knn(spark, input_dir: str, sf_dir: str) -> dict:
         supp.withColumn("sx", ((k * 7919) % 3600) / 10.0 - 180.0 + 0.05)
         .withColumn("sy", ((k * 104729) % 1700) / 10.0 - 85.0 + 0.05)
         .withColumn("row_id", k)
-        .select("row_id", "sx", "sy")
+        .select("row_id", F.col("sx").alias("lon"), F.col("sy").alias("lat"))
     )
-    supp = georef(supp, coords=["sx", "sy"], crs="LatLon")
+    # sx was x=lon-like, sy y=lat-like; georef now requires LatLon coords
+    # to be disambiguable by name, so name them what they are.
+    supp = georef(supp, coords=["lat", "lon"])
     n_rows = pages.df.count()
     t0 = time.perf_counter()
     knn_join(pages, supp, k=10).write.format("noop").mode("overwrite").save()
