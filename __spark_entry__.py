@@ -306,7 +306,7 @@ def q_sort_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = geom["x"] * 1.0 + geom["y"] * 0.5
     # distributed global rank (range-bucket, operators/ranking.py) — NOT
     # an unpartitioned window (one-task scale killer)
-    ranked, _ = global_rank(cust.df, proj, out="rnk", tiebreak=[F.col(ROW_ID).asc()])
+    ranked = global_rank(cust.df, proj, out="rnk", tiebreak=[F.col(ROW_ID).asc()])
     return ranked.select(F.col(ROW_ID).alias("c_custkey"), F.col("rnk"))
 
 
@@ -872,6 +872,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minmax_scale": q_minmax_scale,
         "interquartile": q_interquartile,
         "webpages_identity": q_webpages_identity,
+    }
+
+
+def q_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-DEFAULT simhash (xxhash64 bit votes) — bench-only twin of
+    q_simhash, which deliberately runs the ~2×-slower md5_60 family so
+    the gate can replay it in DuckDB. This entry exists so BENCH
+    measures the production plan too (VERDICT r2 "What's wrong" #3);
+    the row set differs from q_simhash (different hash family ⇒
+    different near-dup candidates), so it has no oracle and is NOT in
+    queries()."""
+    doc = _docs(spark, sf_dir)
+    pairs = DD.simhash_pairs(doc, "doc_id", "text", max_hamming=3, shingle_n=2)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def q_sample_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-DEFAULT uniform sample (compiled murmur3 rank) — bench-only
+    twin of q_sample_uniform (md5 oracle family)."""
+    cust = _cust_points(spark, sf_dir, keep=[])
+    out = TR.sample(cust, 200, seed=7)
+    return out.df.select(F.col(ROW_ID).alias("c_custkey"))
+
+
+def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Bench-only queries: production fast paths whose oracle twins are
+    what queries() gates (same plans, faster hash family). bench.py runs
+    these in addition to queries(); the driver's correctness gate does
+    not see them."""
+    return {
+        "simhash_fast": q_simhash_fast,
+        "sample_fast": q_sample_fast,
     }
 
 

@@ -51,7 +51,9 @@ def main() -> None:
         _noop_batch, schema="id long, v long"
     ).write.format("noop").mode("overwrite").save()
 
-    qs = E.queries()
+    # gated queries + bench-only production-path twins (e.g. the
+    # xxhash64 simhash vs the md5_60 oracle family the gate replays)
+    qs = {**E.queries(), **getattr(E, "bench_extra", dict)()}
     times: dict[str, float] = {}
     total = 0.0
     for name, fn in qs.items():

@@ -195,7 +195,7 @@ def _add_row_id(df: DataFrame, order_by: str | None = None) -> DataFrame:
         # unpartitioned Window (one-task collapse at scale)
         from geotables_jl_spark.operators.ranking import global_rank
 
-        out, _ = global_rank(df, F.col(order_by), out=ROW_ID, mode="row_number")
+        out = global_rank(df, F.col(order_by), out=ROW_ID, mode="row_number")
         return out.withColumn(ROW_ID, (F.col(ROW_ID) - 1).cast("long"))
     return df.withColumn(ROW_ID, F.monotonically_increasing_id())
 

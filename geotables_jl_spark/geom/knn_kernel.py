@@ -188,10 +188,18 @@ def score_batch(
     i = 0
     while i < n:
         # counts are sorted ascending, so rows×max = (j-i)·cs[j-1] is
-        # nondecreasing in j → the chunk boundary is one binary search
-        # over a vectorized product (NO per-row Python loop)
-        f = np.arange(1, n - i + 1, dtype=np.int64) * cs[i:]
-        j = i + max(1, int(np.searchsorted(f, chunk_budget, side="right")))
+        # nondecreasing in j → the chunk boundary is a binary search with
+        # an O(1) predicate. (The r2 version materialized the whole
+        # product array per chunk — O(n·chunks) worst case when hot rows
+        # force one-row chunks; ADVICE r2.)
+        lo, hi = i + 1, n
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if (mid - i) * int(cs[mid - 1]) <= chunk_budget:
+                lo = mid
+            else:
+                hi = mid - 1
+        j = lo
         rows = order[i:j]
         i = j
         cnts = counts[rows]

@@ -116,20 +116,20 @@ def partition_bisect_fraction(
     over the projection (range-bucket rank, ``operators/ranking.py``,
     no unpartitioned window) and a cut at ⌊fraction·n + 0.5⌋ (half-up —
     SQL-oracle-expressible, unlike Python's banker's round). Ties at the
-    cut break by row_id (deterministic)."""
-    import math as _math
-
-    from geotables_jl_spark.operators.ranking import global_rank
+    cut break by row_id (deterministic). The cut is column math over the
+    rank pass's broadcast total — no extra driver action."""
+    from geotables_jl_spark.operators.ranking import TOTAL, global_rank
 
     cx, cy = _centroid_xy(F.col(GEOM))
     proj = cx * F.lit(dx) + cy * F.lit(dy)
-    ranked, total = global_rank(
-        gtb.df, proj, out="__bf_rn", tiebreak=[F.col(ROW_ID).asc()], mode="row_number"
+    ranked = global_rank(
+        gtb.df, proj, out="__bf_rn", tiebreak=[F.col(ROW_ID).asc()], mode="row_number",
+        keep_total=True,
     )
-    cut = int(_math.floor(fraction * total + 0.5))
+    cut = F.floor(F.lit(float(fraction)) * F.col(TOTAL).cast("double") + F.lit(0.5))
     df = ranked.withColumn(
         PARTITION_COL, F.when(F.col("__bf_rn") <= cut, F.lit(0)).otherwise(F.lit(1))
-    ).drop("__bf_rn")
+    ).drop("__bf_rn", TOTAL)
     return gtb._with(df)
 
 

@@ -145,6 +145,14 @@ def cosine_topk(
 _KERNEL_MIN_ROWS = 2_000
 
 
+def _at_least_rows(df: DataFrame, n: int) -> bool:
+    """Bounded planning probe: does ``df`` have ≥ n rows? ``limit(n)``
+    early-exits the scan after n rows, so this stays cheap even when the
+    corpus is a derived/joined plan (a bare ``count()`` there is a full
+    job — ADVICE r2). On a raw parquet scan it is metadata-fast anyway."""
+    return df.limit(n).count() >= n
+
+
 def _flat_matrix(rb, name_idx: dict, col: str):
     """(n, d) float64 matrix from an Arrow list column (fixed width)."""
     import numpy as np
@@ -253,7 +261,7 @@ def ann_lsh_topk(
     rng = np.random.default_rng(seed)
     H = rng.standard_normal((planes, dim))
     if use_kernel is None:
-        use_kernel = corpus.count() >= _KERNEL_MIN_ROWS
+        use_kernel = _at_least_rows(corpus, _KERNEL_MIN_ROWS)
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     if use_kernel:
@@ -433,11 +441,12 @@ def ann_ivf_topk(
             yield out
 
     if use_kernel is None:
-        # parquet count() is metadata-only — cheap at any scale. Below
-        # _KERNEL_MIN_ROWS the Python-worker round trip exceeds the
-        # kernel's win over the interpreted JVM folds; above it the
-        # kernel dominates (2× already at 2k×64 with a warm pool).
-        use_kernel = corpus.count() >= _KERNEL_MIN_ROWS
+        # Below _KERNEL_MIN_ROWS the Python-worker round trip exceeds
+        # the kernel's win over the interpreted JVM folds; above it the
+        # kernel dominates (2× already at 2k×64 with a warm pool). The
+        # probe is limit-bounded so a derived corpus plan doesn't pay a
+        # full count at planning time.
+        use_kernel = _at_least_rows(corpus, _KERNEL_MIN_ROWS)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     if use_kernel:
         c = c.mapInArrow(_assign, schema=assign_schema)

@@ -183,9 +183,14 @@ def stream_host_sessions(
             state.update((lo, hi, cnt))
             state.setTimeoutTimestamp(hi // 1000 + gap_seconds * 1000)
 
-    hosts = pages.withColumn(
-        "host", F.regexp_extract(F.col("url"), r"https?://([^/]+)/", 1)
-    ).withWatermark("warc_ts", watermark)
+    # same host key as the batch-side canonicalization (www-stripped,
+    # lowercased, path-less URLs included — the old regexp required a
+    # trailing slash, sessionizing every bare-host URL under '')
+    from geotables_jl_spark.sources.webpages import url_host
+
+    hosts = pages.withColumn("host", url_host(F.col("url"))).withWatermark(
+        "warc_ts", watermark
+    )
     return hosts.groupBy("host").applyInPandasWithState(
         fn,
         outputStructType=SESSION_SCHEMA,

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from geotables_jl_spark.operators.ranking import global_rank, ntile_col, percent_rank_col
+from geotables_jl_spark.operators.ranking import TOTAL, global_rank, ntile_col, percent_rank_col
 
 
 def _table(spark, n=5000, ties=True):
@@ -19,15 +19,17 @@ def _table(spark, n=5000, ties=True):
 
 def test_global_row_number_matches_window(spark):
     df = _table(spark, ties=True)
-    got, total = global_rank(df, F.col("v"), out="rnk", tiebreak=[F.col("row_id").asc()])
-    assert total == 5000
+    got = global_rank(df, F.col("v"), out="rnk", tiebreak=[F.col("row_id").asc()], keep_total=True)
+    totals = got.select(TOTAL).distinct().collect()
+    assert [int(t[0]) for t in totals] == [5000]
+    got = got.drop(TOTAL)
     want = df.withColumn("rnk", F.row_number().over(W.orderBy(F.col("v").asc(), F.col("row_id").asc())).cast("long"))
     assert got.select("row_id", "rnk").exceptAll(want.select("row_id", "rnk")).count() == 0
 
 
 def test_global_rank_mode_ties(spark):
     df = _table(spark, ties=True)
-    got, _ = global_rank(df, F.col("v"), out="rnk", mode="rank")
+    got = global_rank(df, F.col("v"), out="rnk", mode="rank")
     want = df.withColumn("rnk", F.rank().over(W.orderBy(F.col("v").asc())).cast("long"))
     assert got.select("row_id", "rnk").exceptAll(want.select("row_id", "rnk")).count() == 0
 
