@@ -70,11 +70,31 @@ def attach_media_meta(df: DataFrame, binary_col: str, media_type: str) -> DataFr
     return df.withColumn(f"{binary_col}_meta", meta)
 
 
+def _pil():
+    try:
+        from PIL import Image  # optional dependency
+
+        return Image
+    except ImportError:
+        return None
+
+
 def _decode_image_real(payload: bytes, target: tuple[int, int]) -> np.ndarray:
-    raise NotImplementedError(
-        "real image decode needs PIL/libvips — not available in this container; "
-        "use decode_stub=True (deterministic fake) or plug a codec in here"
-    )
+    """Real decode via Pillow when installed: decode → RGB → resize with
+    NEAREST (deterministic across Pillow versions, unlike the
+    antialiased filters) → HWC uint8. Raises with a clear message when
+    no codec library is present (use decode_stub=True then)."""
+    Image = _pil()
+    if Image is None:
+        raise NotImplementedError(
+            "real image decode needs Pillow — not installed; "
+            "use decode_stub=True (deterministic fake) or plug a codec in here"
+        )
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        im = im.convert("RGB").resize(target, resample=Image.NEAREST)
+        return np.asarray(im, dtype=np.uint8)
 
 
 def _decode_image_fake(payload: bytes, target: tuple[int, int]) -> np.ndarray:

@@ -59,7 +59,28 @@ def hcat(*gtbs: GeoTable, validate: bool = True) -> GeoTable:
             taken.add(new)
         out = out.join(right, on=ROW_ID, how="inner")
     attrs = [c for c in out.columns if c not in (ROW_ID, GEOM)]
-    return base._with(out.select(ROW_ID, *attrs, GEOM))
+    res = base._with(out.select(ROW_ID, *attrs, GEOM))
+    # rank-0 vertex tables concat column-wise too (reference keeps every
+    # rank, src/geotable.jl:34-37): identical domain ⇒ identical vertex
+    # spine, so hcat of vtables is a (row_id, vertex_id) equi-join with
+    # the same '_'-suffix name dedup
+    vts = [g.vtable for g in gtbs if g.vtable is not None]
+    if vts:
+        vt = vts[0]
+        vtaken = set(vt.columns)
+        for v in vts[1:]:
+            for c in v.columns:
+                if c in (ROW_ID, "vertex_id"):
+                    continue
+                new = c
+                while new in vtaken:
+                    new = new + "_"
+                if new != c:
+                    v = v.withColumnRenamed(c, new)
+                vtaken.add(new)
+            vt = vt.join(v, on=[ROW_ID, "vertex_id"], how="full")
+        res = res.with_vtable(vt)
+    return res
 
 
 def vcat(*gtbs: GeoTable, kind: str = "union") -> GeoTable:
@@ -86,12 +107,27 @@ def vcat(*gtbs: GeoTable, kind: str = "union") -> GeoTable:
     # count job per table; at scale prefer precomputed counts)
     offset = 0
     parts: list[DataFrame] = []
+    offsets: list[int] = []
     for d in dfs:
+        offsets.append(offset)
         parts.append(d.withColumn(ROW_ID, F.col(ROW_ID) + F.lit(offset)))
         offset += d.count()
     out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=(kind == "union")), parts)
     attrs = [c for c in out.columns if c not in (ROW_ID, GEOM)]
-    return gtbs[0]._with(out.select(ROW_ID, *attrs, GEOM))
+    res = gtbs[0]._with(out.select(ROW_ID, *attrs, GEOM))
+    # rank-0 vertex tables stack with the SAME row_id renumbering
+    # (reference keeps every rank on concatenation); tables without a
+    # vtable simply contribute no vertex rows
+    vts = [
+        g.vtable.withColumn(ROW_ID, F.col(ROW_ID) + F.lit(off))
+        for g, off in zip(gtbs, offsets)
+        if g.vtable is not None
+    ]
+    if vts:
+        res = res.with_vtable(
+            reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), vts)
+        )
+    return res
 
 
 def geotable_equal(g1: GeoTable, g2: GeoTable) -> bool:

@@ -87,3 +87,57 @@ def test_score_batch_exact_empty_sides():
         np.empty(0, np.int64), np.empty(0), np.empty(0), np.empty(0, np.int64), idx2, 1, 5
     )
     assert len(ridv) == 0 and list(off) == [0]
+
+
+def test_topk_tie_exact_lattice_both_branches():
+    """VERDICT r2 'Next round' #10: adversarial duplicate-distance sweep
+    of _topk_tie_exact hitting BOTH boundary-tie branches — narrow
+    (m ≤ max(8·kk, 512): vectorized full sort of affected rows) and wide
+    (per-row candidate re-sort). Distances drawn from a tiny integer set
+    make boundary ties pervasive at every k."""
+    from geotables_jl_spark.geom.knn_kernel import _topk_tie_exact
+
+    rng = np.random.default_rng(7)
+    for m in (6, 40, 520, 1200):  # 520/1200 exceed max(8·kk, 512) for small kk
+        for kk in (1, 2, 3, 7, 16):
+            if kk > m:
+                continue
+            for levels in (1, 2, 4):  # 1 level = ALL distances equal
+                b = 37
+                d = rng.integers(0, levels, size=(b, m)).astype(np.float64)
+                part, dp = _topk_tie_exact(d.copy(), kk)
+                ref = np.argsort(d, axis=1, kind="stable")[:, :kk]
+                assert (part == ref).all(), (m, kk, levels, "indices")
+                assert (dp == np.take_along_axis(d, ref, axis=1)).all(), (m, kk, levels)
+
+
+def test_score_batch_exact_integer_lattice_sweep():
+    """End-to-end lattice sweep: every right point sits on a small
+    integer lattice with heavy duplication (one hot cell holds >512
+    candidates at the widest setting), queries at lattice nodes so
+    EVERY neighbor distance is a tied lattice distance; exactness =
+    (dist, rid)-ascending parity with brute force at each k."""
+    rng = np.random.default_rng(11)
+    for span, dup, k in ((3, 4, 3), (5, 8, 7), (4, 40, 5), (2, 200, 9)):
+        nodes = [(float(i), float(j)) for i in range(span) for j in range(span)]
+        rx = np.array([p[0] for p in nodes for _ in range(dup)])
+        ry = np.array([p[1] for p in nodes for _ in range(dup)])
+        n2 = len(rx)
+        rid = rng.permutation(n2).astype(np.int64)
+        lx = np.array([p[0] for p in nodes])
+        ly = np.array([p[1] for p in nodes])
+        lid = np.arange(len(lx), dtype=np.int64)
+        cell = 1.0
+        idx = RightIndex(rid.copy(), rx.copy(), ry.copy(), cell)
+        lcell = pack_cells_np(
+            np.floor(lx / cell).astype(np.int64), np.floor(ly / cell).astype(np.int64)
+        )
+        for budget in (64, 262144):
+            cols, off, ridv, distv = score_batch_exact(lid, lx, ly, lcell, idx, 1, k, budget)
+            ref = _brute_ref(lx, ly, rid, rx, ry, k)
+            for pos in range(len(lx)):
+                i = int(cols["__lid"][pos])
+                got = list(
+                    zip(ridv[off[pos]: off[pos + 1]].tolist(), distv[off[pos]: off[pos + 1]].tolist())
+                )
+                assert got == ref[i], (span, dup, k, budget, i)
