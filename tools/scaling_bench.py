@@ -44,10 +44,30 @@ for _ in range(120):
 """
 
 
-def _probe_ratio(code: str, lo: int, hi: int) -> float:
+#: cpuset-pinned mode (VERDICT r2 'Next round' #4): pin each parallelism
+#: level to EXACTLY that many cores with taskset — the honest analog of
+#: "an executor owns its cores". Without pinning, the local[lo] JVM's
+#: GC/shuffle/daemon threads spill onto idle cores and inflate the low
+#: level, and host oversubscription throttles the high level; both bias
+#: the raw efficiency downward. Core ids chosen away from cpu0 (IRQs).
+_PIN_CORES = {1: "4", 2: "4-5", 4: "4-7", 8: "4-11", 16: "4-19"}
+
+
+def _pin_prefix(cpus: int, pin: bool) -> list[str]:
+    return ["taskset", "-c", _PIN_CORES[cpus]] if pin else []
+
+
+def _probe_ratio(code: str, lo: int, hi: int, pin: bool = False) -> float:
     def run(n: int) -> float:
+        cores = _PIN_CORES[n].split("-") if pin else None
         t0 = time.perf_counter()
-        ps = [subprocess.Popen([sys.executable, "-c", code]) for _ in range(n)]
+        ps = []
+        for i in range(n):
+            # pinned mode: one probe process per core of the level's
+            # cpuset — the cleanest independent-process ceiling INSIDE
+            # the set the measured job will run in
+            pre = ["taskset", "-c", str(int(cores[0]) + i)] if pin else []
+            ps.append(subprocess.Popen(pre + [sys.executable, "-c", code]))
         for p in ps:
             p.wait()
         return time.perf_counter() - t0
@@ -58,19 +78,20 @@ def _probe_ratio(code: str, lo: int, hi: int) -> float:
     return (hi / t_hi) / (lo / t_lo)
 
 
-def calibrate(lo: int, hi: int) -> tuple[float, float]:
+def calibrate(lo: int, hi: int, pin: bool = False) -> tuple[float, float]:
     """(cpu_ratio, mem_ratio): host parallel-throughput ratios hi vs lo
     procs (ideal: hi/lo) for a cache-resident CPU probe and a
     DRAM-bandwidth probe shaped like the kNN kernel."""
-    return _probe_ratio(_CALIB, lo, hi), _probe_ratio(_CALIB_MEM, lo, hi)
+    return _probe_ratio(_CALIB, lo, hi, pin), _probe_ratio(_CALIB_MEM, lo, hi, pin)
 
 
-def run_level(cpus: int, input_dir: str, sf_dir: str) -> list[dict]:
+def run_level(cpus: int, input_dir: str, sf_dir: str, pin: bool = False) -> list[dict]:
     out = subprocess.run(
-        [sys.executable, os.path.join(HERE, "scaling_job.py"), str(cpus), input_dir, sf_dir],
+        _pin_prefix(cpus, pin)
+        + [sys.executable, os.path.join(HERE, "scaling_job.py"), str(cpus), input_dir, sf_dir],
         capture_output=True,
         text=True,
-        timeout=3000,
+        timeout=6000,
     )
     if out.returncode != 0:
         raise RuntimeError(f"scaling_job cpus={cpus} failed:\n{out.stderr[-3000:]}")
@@ -78,15 +99,27 @@ def run_level(cpus: int, input_dir: str, sf_dir: str) -> list[dict]:
 
 
 def main() -> None:
-    amp = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    argv = sys.argv[1:]
+    pin = "--pin" in argv
+    pair = None
+    if "--pair" in argv:  # e.g. --pair 1,4 (implies nothing about pinning)
+        pair = tuple(int(v) for v in argv[argv.index("--pair") + 1].split(","))
+        argv = [a for i, a in enumerate(argv) if i not in (argv.index("--pair"), argv.index("--pair") + 1)]
+    args = [a for a in argv if a != "--pin"]
+    amp = int(args[0]) if len(args) > 0 else 8000
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     # N vs 4N within the host's real capacity: this VM sustains ~3.5x for
     # 4->16 fully-independent processes (0.88 of ideal) but only ~2.2x
     # for 8->32 — beyond ~16-20 effective cores the hypervisor throttles,
     # and no workload can evidence 0.8 efficiency through that ceiling.
     # The calibration probe below still measures and reports the ceiling
     # for whatever pair is configured.
-    lo, hi = 4, 16
+    #
+    # --pin: cpuset-pinned 2 vs 8 cores (taskset) — each level owns
+    # exactly its cores, total demand stays ≤ 8 of 32 vCPUs (below the
+    # hypervisor throttle knee), targeting a RAW ≥0.8 datapoint that
+    # doesn't lean on ceiling normalization.
+    lo, hi = pair if pair else ((2, 8) if pin else (4, 16))
     input_dir = f"/tmp/scaling_pages_amp{amp}"
 
     if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
@@ -98,7 +131,7 @@ def main() -> None:
 
     # calibration interleaved with the measurement (before AND after) so
     # the ceiling reflects host state DURING the runs, not minutes away
-    hw_ratio_pre = calibrate(lo, hi)
+    hw_ratio_pre = calibrate(lo, hi, pin)
 
     # the VM's available CPU drifts over minutes (noisy neighbors / steal):
     # interleave the levels and keep the best run per (level, job) so a
@@ -107,12 +140,12 @@ def main() -> None:
     res_hi: dict = {}
     for _pass in range(2):
         for cpus, store in ((lo, res_lo), (hi, res_hi)):
-            for r in run_level(cpus, input_dir, sf_dir):
+            for r in run_level(cpus, input_dir, sf_dir, pin):
                 cur = store.get(r["job"])
                 if cur is None or r["sec"] < cur["sec"]:
                     store[r["job"]] = r
 
-    hw_ratio_post = calibrate(lo, hi)
+    hw_ratio_post = calibrate(lo, hi, pin)
     hw_cpu = (hw_ratio_pre[0] + hw_ratio_post[0]) / 2.0
     hw_mem = (hw_ratio_pre[1] + hw_ratio_post[1]) / 2.0
     hw_ceiling = hw_cpu / (hi / lo)
@@ -128,6 +161,8 @@ def main() -> None:
         "lo_cpus": lo,
         "hi_cpus": hi,
         "amp": amp,
+        "pinned": pin,
+        "pin_cores": {str(n): _PIN_CORES[n] for n in (lo, hi)} if pin else None,
         "hw_cpu_ratio": round(hw_cpu, 3),
         "hw_mem_ratio": round(hw_mem, 3),
         "hw_cpu_ratio_pre": round(hw_ratio_pre[0], 3),
@@ -200,7 +235,14 @@ def main() -> None:
     # write the candidate next to it for a human diff.
     pre_cpu, post_cpu = hw_ratio_pre[0], hw_ratio_post[0]
     stable = abs(pre_cpu - post_cpu) / max(pre_cpu, post_cpu) <= 0.10
-    out_name = "BENCH_CANDIDATE.md" if stable else "BENCH_UNSTABLE.md"
+    if pin:
+        md = (
+            f"<!-- cpuset-pinned run: taskset {_PIN_CORES[lo]} vs "
+            f"{_PIN_CORES[hi]}, each level owns exactly its cores -->\n" + md
+        )
+        out_name = "BENCH_PINNED_CANDIDATE.md" if stable else "BENCH_PINNED_UNSTABLE.md"
+    else:
+        out_name = "BENCH_CANDIDATE.md" if stable else "BENCH_UNSTABLE.md"
     with open(os.path.join(REPO, out_name), "w") as f:
         f.write(md)
     summary["stable_probes"] = stable
