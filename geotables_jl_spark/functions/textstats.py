@@ -199,3 +199,98 @@ def shingles(text: Column, n: int = 3) -> Column:
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+# Models" quality heuristics) — the duplicate-line / most-common-n-gram
+# family used to filter boilerplate-heavy web pages. All exact integers
+# (numerator/denominator separately) so the DuckDB oracle matches
+# bit-for-bit with no float-fold concerns; all whole-row column math
+# (higher-order functions, JVM-side) — map-only at any scale.
+# ---------------------------------------------------------------------------
+
+
+def _lines(text: Column) -> Column:
+    return F.split(text, "\n")
+
+
+def _run_fold(arr: Column, per_item: str = "max_mass") -> Column:
+    """Fold a SORTED array into run statistics without the O(n²)
+    distinct×filter scan: state walks equal-element runs.
+
+    per_item="max_mass": max over classes of count*length (the Gopher
+    "fraction of characters in the most common n-gram" numerator).
+    per_item="dup_mass": Σ over classes with count>1 of count*length
+    ("fraction of characters in duplicate lines" numerator, counting
+    every occurrence).
+    """
+    sorted_ = F.array_sort(arr)
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("acc"),
+    )
+
+    def merge(st, w):
+        is_run = w.eqNullSafe(st["prev"])
+        run = F.when(is_run, st["run"] + 1).otherwise(F.lit(1).cast("long"))
+        ln = F.length(w).cast("long")
+        if per_item == "max_mass":
+            acc = F.greatest(st["acc"], run * ln)
+        else:  # dup_mass: a run reaching 2 retro-charges both occurrences
+            acc = st["acc"] + F.when(run == 2, 2 * ln).when(run > 2, ln).otherwise(zero)
+        return F.struct(w.alias("prev"), run.alias("run"), acc.alias("acc"))
+
+    return F.aggregate(sorted_, init, merge, lambda st: st["acc"])
+
+
+def _dup_count_fold(arr: Column) -> Column:
+    """Number of elements of a SORTED array belonging to classes with
+    count > 1 (counting every occurrence)."""
+    sorted_ = F.array_sort(arr)
+    zero = F.lit(0).cast("long")
+    init = F.struct(F.lit(None).cast("string").alias("prev"), zero.alias("run"), zero.alias("acc"))
+
+    def merge(st, w):
+        is_run = w.eqNullSafe(st["prev"])
+        run = F.when(is_run, st["run"] + 1).otherwise(F.lit(1).cast("long"))
+        acc = st["acc"] + F.when(run == 2, F.lit(2).cast("long")).when(run > 2, F.lit(1).cast("long")).otherwise(zero)
+        return F.struct(w.alias("prev"), run.alias("run"), acc.alias("acc"))
+
+    return F.aggregate(sorted_, init, merge, lambda st: st["acc"])
+
+
+def repetition_stats_cols(text: Column) -> dict[str, Column]:
+    """Exact-integer repetition signals per document:
+
+    - n_lines / n_dup_lines / dup_line_chars / line_chars — duplicate-line
+      fraction numerators & denominators (a line is duplicate when its
+      exact string occurs >1 time in the doc; chars count every
+      occurrence)
+    - n_words / word_chars / top_word_chars — most-common-word char mass
+    - top_bigram_chars — most-common word-2-gram char mass (the bigram
+      string includes its single joining space)
+    """
+    lines = _lines(text)
+    words = F.filter(tokens(text), lambda t: t != "")
+    nw = F.size(words).cast("long")
+    bigrams = F.when(
+        nw >= 2,
+        F.transform(
+            F.sequence(F.lit(1), (nw - 1).cast("int")),
+            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    zero = F.lit(0).cast("long")
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_dup_lines": _dup_count_fold(lines),
+        "dup_line_chars": _run_fold(lines, "dup_mass"),
+        "line_chars": F.aggregate(lines, zero, lambda acc, x: acc + F.length(x).cast("long")),
+        "n_words": nw,
+        "word_chars": F.aggregate(words, zero, lambda acc, x: acc + F.length(x).cast("long")),
+        "top_word_chars": _run_fold(words, "max_mass"),
+        "top_bigram_chars": _run_fold(bigrams, "max_mass"),
+    }

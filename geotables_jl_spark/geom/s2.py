@@ -1,0 +1,412 @@
+"""S2 cell ids — the sphere-correct global tiling named by the north rule
+("H3/S2 index"), implemented three times from the published algorithm
+(S2 geometry library docs/papers; quadratic projection + Hilbert curve)
+and cross-checked bit-for-bit:
+
+1. ``with_s2_cell`` — pure Spark column expressions (zero Python in the
+   hot path): the 100 TB path. Face/uv/st run in whole-stage codegen;
+   the Hilbert fold runs 4 bits per step against a 1024-entry
+   constant-folded lookup array inside a single ``aggregate()``
+   higher-order function (one lambda body for all 8 steps — an unrolled
+   projection chain makes Catalyst inline a copy of the uv/sqrt tree
+   per step and codegen compile time explodes).
+2. ``s2_cell_from_xyz_np`` — vectorized numpy twin for Arrow kernels and
+   tests (same 4-bit LUT).
+3. ``s2_cell_sql`` — generated ANSI SQL (chained CTEs, one 2-bit Hilbert
+   step per level) runnable by DuckDB: the driver-oracle twin.
+
+Determinism contract (what makes a bit-exact SQL oracle possible): from a
+direction vector (x, y, z) the cell id needs only abs/compare (exact),
+division (IEEE correctly rounded), ``1 ± 3u`` and ``s * 2^30``
+(correctly rounded), ``sqrt`` (correctly rounded by IEEE-754 on every
+platform), multiply by 0.5 (exact — power of two), ``floor`` (exact) and
+integer bit math (exact). No trig. Hence numpy, the JVM and DuckDB agree
+on every bit. The lat/lon convenience entry points DO use each engine's
+``cos``/``sin`` (not correctly-rounded, may differ by 1 ulp across
+libm/JVM) — a point within ~1 ulp of a leaf-cell boundary can land in
+the adjacent cell; tests bound this and the oracle-gated queries use the
+xyz form.
+
+Reference parity note: GeoTables.jl has no spatial index at all (its
+geojoin is a brute-force nested loop, src/geoops/geojoin.jl:120-124);
+the S2 scheme here is the scale replacement mandated by the north rule —
+cell ids serve as storage bucketing/partition keys, rollup keys, and
+equi-join candidate keys, with the existing Arrow kernels doing exact
+refinement.
+
+Cell id layout (the public S2 scheme): 3 face bits, 2*level Hilbert
+position bits, one trailing marker bit, zero-padded to 64; interpreted
+here as SIGNED int64 (faces 4-5 set bit 63) so Spark/parquet/DuckDB
+BIGINT carry it natively.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MAX_LEVEL = 30
+_SWAP = 1
+_INVERT = 2
+
+# kPosToIJ[orientation][position] -> ij (i<<1 | j): the published Hilbert
+# traversal order per orientation; everything else is derived from it.
+POS_TO_IJ = (
+    (0, 1, 3, 2),  # canonical order
+    (0, 2, 3, 1),  # axes swapped
+    (3, 2, 0, 1),  # bits inverted
+    (3, 1, 0, 2),  # swapped & inverted
+)
+POS_TO_ORIENT = (_SWAP, 0, 0, _SWAP | _INVERT)
+
+# inverse: IJ_TO_POS[orientation][ij] -> position
+IJ_TO_POS = tuple(
+    tuple(row.index(ij) for ij in range(4)) for row in POS_TO_IJ
+)
+
+
+def _build_lut4() -> np.ndarray:
+    """1024-entry table folding FOUR Hilbert levels at once:
+    ``LUT[orient<<8 | nib_i<<4 | nib_j] = pos8<<2 | new_orient``."""
+    lut = np.zeros(1024, dtype=np.int64)
+    for orient0 in range(4):
+        for ni in range(16):
+            for nj in range(16):
+                o, pos = orient0, 0
+                for b in range(3, -1, -1):
+                    ij = (((ni >> b) & 1) << 1) | ((nj >> b) & 1)
+                    p = IJ_TO_POS[o][ij]
+                    pos = (pos << 2) | p
+                    o ^= POS_TO_ORIENT[p]
+                lut[(orient0 << 8) | (ni << 4) | nj] = (pos << 2) | o
+    return lut
+
+
+LUT4 = _build_lut4()
+
+# faceUVtoXYZ axes (norm, u-axis, v-axis) — used to DERIVE u,v formulas
+# and for decoding in tests: u = (p . U) / (p . N), v = (p . V) / (p . N).
+FACE_NORM = ((1, 0, 0), (0, 1, 0), (0, 0, 1), (-1, 0, 0), (0, -1, 0), (0, 0, -1))
+FACE_UAXIS = ((0, 1, 0), (-1, 0, 0), (-1, 0, 0), (0, 0, -1), (0, 0, -1), (0, 1, 0))
+FACE_VAXIS = ((0, 0, 1), (0, 0, 1), (0, -1, 0), (0, -1, 0), (1, 0, 0), (1, 0, 0))
+
+
+# ---------------------------------------------------------------------------
+# numpy (vectorized twin — Arrow kernels, tests)
+# ---------------------------------------------------------------------------
+
+def _face_np(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    f = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
+    comp = np.choose(f, [x, y, z])
+    return np.where(comp < 0, f + 3, f).astype(np.int64)
+
+
+def _uv_np(face: np.ndarray, x, y, z) -> tuple[np.ndarray, np.ndarray]:
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [y / x, -x / y, -x / z, z / x, z / y],
+            default=-y / z,
+        )
+        v = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [z / x, z / y, -y / z, y / x, -x / y],
+            default=-x / z,
+        )
+    return u, v
+
+
+def _st_np(u: np.ndarray) -> np.ndarray:
+    return np.where(u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+
+
+def _ij_np(s: np.ndarray) -> np.ndarray:
+    return np.clip(np.floor(s * float(1 << MAX_LEVEL)), 0, (1 << MAX_LEVEL) - 1).astype(np.int64)
+
+
+def s2_cell_from_xyz_np(x, y, z, level: int) -> np.ndarray:
+    """int64 S2 cell ids at ``level`` for direction vectors (need not be
+    normalized — face/u/v are ratios). Bit-identical to the Spark and SQL
+    twins on any IEEE-754 platform (see module docstring)."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+    face = _face_np(x, y, z)
+    u, v = _uv_np(face, x, y, z)
+    i, j = _ij_np(_st_np(u)), _ij_np(_st_np(v))
+    # Hilbert fold, 4 bits per step; i,j padded to 32 bits (the two extra
+    # leading (0,0) quadrants contribute 00-position bits and toggle the
+    # orientation twice — a no-op, so the initial orientation face&1 holds).
+    orient = (face & 1).astype(np.int64)
+    pos = np.zeros_like(orient, dtype=np.uint64)
+    for k in range(7, -1, -1):
+        ni = (i >> (4 * k)) & 15
+        nj = (j >> (4 * k)) & 15
+        val = LUT4[(orient << 8) | (ni << 4) | nj]
+        pos = (pos << np.uint64(8)) | (val >> 2).astype(np.uint64)
+        orient = val & 3
+    leaf = (face.astype(np.uint64) << np.uint64(61)) | (pos << np.uint64(1)) | np.uint64(1)
+    lsb = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
+    snapped = (leaf & (~(lsb - np.uint64(1))) & ~lsb) | lsb
+    return snapped.view(np.int64)
+
+
+def s2_cell_from_latlon_np(lat_deg, lon_deg, level: int) -> np.ndarray:
+    """Convenience: lat/lon degrees -> cell id. Uses libm trig (1-ulp
+    engine-dependent near leaf-cell boundaries — see module docstring)."""
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    cp = np.cos(phi)
+    return s2_cell_from_xyz_np(cp * np.cos(lam), cp * np.sin(lam), np.sin(phi), level)
+
+
+def s2_cell_scalar(x: float, y: float, z: float, level: int) -> int:
+    """Independent per-level (2-bit) reference implementation — a
+    different mechanism than the 4-bit LUT twins; used to cross-validate
+    the table construction in tests."""
+    ax, ay, az = abs(x), abs(y), abs(z)
+    if ax > ay:
+        f = 0 if ax > az else 2
+    else:
+        f = 1 if ay > az else 2
+    comp = (x, y, z)[f]
+    face = f + 3 if comp < 0 else f
+    n, ua, va = FACE_NORM[face], FACE_UAXIS[face], FACE_VAXIS[face]
+    den = x * n[0] + y * n[1] + z * n[2]
+    u = (x * ua[0] + y * ua[1] + z * ua[2]) / den
+    v = (x * va[0] + y * va[1] + z * va[2]) / den
+
+    def st(w: float) -> float:
+        return 0.5 * (1.0 + 3.0 * w) ** 0.5 if w >= 0 else 1.0 - 0.5 * (1.0 - 3.0 * w) ** 0.5
+
+    def ij(s: float) -> int:
+        return min(max(int(np.floor(s * (1 << MAX_LEVEL))), 0), (1 << MAX_LEVEL) - 1)
+
+    i, j = ij(st(u)), ij(st(v))
+    orient, pos = face & 1, 0
+    for b in range(MAX_LEVEL - 1, -1, -1):
+        q = ((((i >> b) & 1) << 1) | ((j >> b) & 1))
+        p = IJ_TO_POS[orient][q]
+        pos = (pos << 2) | p
+        orient ^= POS_TO_ORIENT[p]
+    leaf = (face << 61) | (pos << 1) | 1
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    snapped = (leaf & ~(2 * lsb - 1)) | lsb
+    return snapped - (1 << 64) if snapped >= (1 << 63) else snapped
+
+
+# ---------------------------------------------------------------------------
+# Spark columns (the 100 TB path — all whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+_LUT_LIT = None
+
+
+def _lut_lit() -> Column:
+    global _LUT_LIT
+    if _LUT_LIT is None:
+        # one py4j call (a 1024-element F.array(*lits) costs ~20 s of
+        # driver round-trips); constant-folds to a single array literal
+        _LUT_LIT = F.lit([int(v) for v in LUT4.tolist()])
+    return _LUT_LIT
+
+
+def _st_col(u: Column) -> Column:
+    return F.when(u >= 0, F.lit(0.5) * F.sqrt(F.lit(1.0) + F.lit(3.0) * u)).otherwise(
+        F.lit(1.0) - F.lit(0.5) * F.sqrt(F.lit(1.0) - F.lit(3.0) * u)
+    )
+
+
+def _ij_col(s: Column) -> Column:
+    scaled = F.floor(s * F.lit(float(1 << MAX_LEVEL)))
+    return F.least(F.greatest(scaled, F.lit(0)), F.lit((1 << MAX_LEVEL) - 1)).cast("long")
+
+
+def with_s2_cell(
+    df: DataFrame,
+    level: int,
+    out: str = "s2_cell",
+    xyz: tuple[str, str, str] | None = None,
+    latlon: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Add an int64 S2 cell-id column. ``xyz`` names three direction
+    columns (bit-exact, oracle-able); ``latlon`` names (lat, lon) degree
+    columns (engine-trig convenience). Zero-vector rows get NULL.
+
+    Plan shape: one projection chain, all codegen — at 10^12 rows this
+    fuses into the scan; the cell id is the Iceberg-style partition /
+    bucketing key for everything downstream.
+    """
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
+    if (xyz is None) == (latlon is None):
+        raise ValueError("pass exactly one of xyz=('x','y','z') or latlon=('lat','lon')")
+    pre = "__s2_"
+    if latlon is not None:
+        lat, lon = (F.radians(F.col(c).cast("double")) for c in latlon)
+        df = df.withColumns({
+            pre + "x": F.cos(lat) * F.cos(lon),
+            pre + "y": F.cos(lat) * F.sin(lon),
+            pre + "z": F.sin(lat),
+        })
+        xs, ys, zs = pre + "x", pre + "y", pre + "z"
+    else:
+        xs, ys, zs = xyz
+    x, y, z = F.col(xs).cast("double"), F.col(ys).cast("double"), F.col(zs).cast("double")
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    f0 = F.when(ax > ay, F.when(ax > az, F.lit(0)).otherwise(F.lit(2))).otherwise(
+        F.when(ay > az, F.lit(1)).otherwise(F.lit(2))
+    )
+    comp = F.when(f0 == 0, x).when(f0 == 1, y).otherwise(z)
+    df = df.withColumn(pre + "f", F.when(comp == 0, F.lit(None)).when(comp < 0, f0 + 3).otherwise(f0))
+    face = F.col(pre + "f")
+    # every taken branch has a provably nonzero denominator (the face's
+    # major component); NULL face (zero vector) takes no branch, which
+    # keeps ANSI mode's divide-by-zero check happy
+    u = (
+        F.when(face == 0, y / x).when(face == 1, -x / y).when(face == 2, -x / z)
+        .when(face == 3, z / x).when(face == 4, z / y).when(face == 5, -y / z)
+    )
+    v = (
+        F.when(face == 0, z / x).when(face == 1, z / y).when(face == 2, -y / z)
+        .when(face == 3, y / x).when(face == 4, -x / y).when(face == 5, -x / z)
+    )
+    df = df.withColumns({pre + "i": _ij_col(_st_col(u)), pre + "j": _ij_col(_st_col(v))})
+    i, j = F.col(pre + "i"), F.col(pre + "j")
+    # Hilbert fold as ONE aggregate() higher-order function: the state
+    # struct (ir, jr, o, p) walks the 8 four-bit steps with the lambda
+    # body built exactly once. An unrolled withColumns chain here is a
+    # correctness-equivalent trap: Catalyst inlines each step into the
+    # next (the refs are single-use, so CollapseProject fires) and the
+    # codegen tree grows a copy of the face/u/v/sqrt sub-tree per step —
+    # observed 25+ min of driver-side StringBuilder churn per query.
+    # aggregate() keeps the plan linear; eval is JVM-interpreted over a
+    # constant-folded LUT literal, no Python anywhere.
+    mask32 = F.lit((1 << 32) - 1).cast("long")
+    init = F.struct(
+        i.alias("ir"),  # i,j occupy bits 0..29; treated as 32-bit padded
+        j.alias("jr"),
+        face.bitwiseAND(F.lit(1)).cast("long").alias("o"),
+        F.lit(0).cast("long").alias("p"),
+    )
+
+    def _step(st: Column, _: Column) -> Column:
+        ni = F.shiftright(st["ir"], 28).bitwiseAND(F.lit(15))
+        nj = F.shiftright(st["jr"], 28).bitwiseAND(F.lit(15))
+        key = F.shiftleft(st["o"], 8).bitwiseOR(F.shiftleft(ni, 4)).bitwiseOR(nj)
+        val = F.element_at(_lut_lit(), (key + 1).cast("int"))
+        return F.struct(
+            F.shiftleft(st["ir"], 4).bitwiseAND(mask32).alias("ir"),
+            F.shiftleft(st["jr"], 4).bitwiseAND(mask32).alias("jr"),
+            val.bitwiseAND(F.lit(3)).cast("long").alias("o"),
+            F.shiftleft(st["p"], 8).bitwiseOR(F.shiftright(val, 2).cast("long")).alias("p"),
+        )
+
+    pos = F.aggregate(
+        F.sequence(F.lit(1), F.lit(8)), init, _step, lambda st: st["p"]
+    )
+    df = df.withColumn(pre + "p", pos)
+    # signed face base avoids 64-bit overflow checks: faces 4,5 wrap negative
+    base = (F.when(face >= 4, face - 8).otherwise(face)).cast("long") * F.lit(1 << 61).cast("long")
+    drop = 2 * (MAX_LEVEL - level)
+    pos_l = F.shiftright(F.col(pre + "p"), drop)
+    cell = base + F.shiftleft(pos_l, drop + 1) + F.lit(1 << drop).cast("long")
+    df = df.withColumn(out, F.when(face.isNull(), F.lit(None).cast("long")).otherwise(cell))
+    return df.drop(*[c for c in df.columns if c.startswith(pre)])
+
+
+def s2_parent_col(cell: Column, level: int) -> Column:
+    """Snap a cell id to a coarser level — pure bit math (codegen)."""
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    return cell.bitwiseAND(F.lit(~(2 * lsb - 1))).bitwiseOR(F.lit(lsb))
+
+
+def s2_token_col(cell: Column) -> Column:
+    """Canonical hex token: 16-digit zero-padded hex with trailing zeros
+    stripped (face-0 ids can have leading zero nibbles)."""
+    return F.regexp_replace(F.lpad(F.lower(F.hex(cell)), 16, "0"), "0+$", "")
+
+
+def s2_parent_py(cell: int, level: int) -> int:
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    u = cell & ((1 << 64) - 1)
+    snapped = (u & ~(2 * lsb - 1)) | lsb
+    return snapped - (1 << 64) if snapped >= (1 << 63) else snapped
+
+
+def s2_level_py(cell: int) -> int:
+    u = cell & ((1 << 64) - 1)
+    return MAX_LEVEL - ((u & -u).bit_length() - 1) // 2
+
+
+def s2_token_py(cell: int) -> str:
+    return format(cell & ((1 << 64) - 1), "016x").rstrip("0")
+
+
+# ---------------------------------------------------------------------------
+# Generated SQL (DuckDB oracle twin) — 2-bit Hilbert step per level
+# ---------------------------------------------------------------------------
+
+def s2_cell_sql(source: str, x: str, y: str, z: str, level: int, out: str = "s2_cell",
+                keep: list[str] | None = None) -> str:
+    """Return a SELECT (chained CTEs) computing the same int64 cell id in
+    ANSI SQL over ``source`` (a table/view/subquery name). ``x,y,z`` are
+    column/expression strings; rows with a zero major component are
+    dropped. ``keep`` lists pass-through columns."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
+    keep_cols = ", ".join(keep) + "," if keep else ""
+    # flattened 16-entry transition tables: idx = orient*4 + ij
+    pos_tbl = [IJ_TO_POS[o][q] for o in range(4) for q in range(4)]
+    orient_tbl = [o ^ POS_TO_ORIENT[IJ_TO_POS[o][q]] for o in range(4) for q in range(4)]
+
+    def case16(idx_expr: str, tbl: list[int]) -> str:
+        whens = " ".join(f"WHEN {n} THEN {tbl[n]}" for n in range(16))
+        return f"CASE ({idx_expr}) {whens} END"
+
+    st = lambda w: (f"CASE WHEN {w} >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * {w}) "
+                    f"ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * {w}) END")
+    ctes = [f"""__s2_in AS (
+  SELECT {keep_cols} CAST({x} AS DOUBLE) AS px, CAST({y} AS DOUBLE) AS py, CAST({z} AS DOUBLE) AS pz
+  FROM {source}
+)""", f"""__s2_face AS (
+  SELECT *, CASE WHEN comp < 0 THEN f0 + 3 ELSE f0 END AS face FROM (
+    SELECT *, CASE f0 WHEN 0 THEN px WHEN 1 THEN py ELSE pz END AS comp FROM (
+      SELECT {keep_cols} px, py, pz,
+             CASE WHEN abs(px) > abs(py)
+                  THEN CASE WHEN abs(px) > abs(pz) THEN 0 ELSE 2 END
+                  ELSE CASE WHEN abs(py) > abs(pz) THEN 1 ELSE 2 END END AS f0
+      FROM __s2_in)) WHERE comp <> 0
+)""", f"""__s2_uv AS (
+  SELECT {keep_cols} face,
+    CASE face WHEN 0 THEN py/px WHEN 1 THEN -px/py WHEN 2 THEN -px/pz
+              WHEN 3 THEN pz/px WHEN 4 THEN pz/py ELSE -py/pz END AS fu,
+    CASE face WHEN 0 THEN pz/px WHEN 1 THEN pz/py WHEN 2 THEN -py/pz
+              WHEN 3 THEN py/px WHEN 4 THEN -px/py ELSE -px/pz END AS fv
+  FROM __s2_face
+)""", f"""__s2_ij AS (
+  SELECT {keep_cols} face,
+    least(greatest(CAST(floor(({st('fu')}) * 1073741824.0) AS BIGINT), 0), 1073741823) AS i,
+    least(greatest(CAST(floor(({st('fv')}) * 1073741824.0) AS BIGINT), 0), 1073741823) AS j
+  FROM __s2_uv
+)""", f"""__s2_h0 AS (
+  SELECT {keep_cols} face, i, j, face & 1 AS o, CAST(0 AS BIGINT) AS pos FROM __s2_ij
+)"""]
+    for l in range(level):
+        b = MAX_LEVEL - 1 - l
+        idx = f"(o * 4) + (((i >> {b}) & 1) * 2) + ((j >> {b}) & 1)"
+        ctes.append(f"""__s2_h{l + 1} AS (
+  SELECT {keep_cols} face, i, j,
+         {case16(idx, orient_tbl)} AS o,
+         (pos * 4) + {case16(idx, pos_tbl)} AS pos
+  FROM __s2_h{l}
+)""")
+    base = "CASE WHEN face >= 4 THEN face - 8 ELSE face END"
+    shift = 61 - 2 * level
+    final = (f"SELECT {keep_cols} ({base}) * 2305843009213693952 + pos * {1 << shift} "
+             f"+ {1 << (shift - 1)} AS {out} FROM __s2_h{level}")
+    return "WITH " + ",\n".join(ctes) + "\n" + final
