@@ -119,11 +119,34 @@ def _uv_np(face: np.ndarray, x, y, z) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _st_np(u: np.ndarray) -> np.ndarray:
-    return np.where(u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+    # one sqrt serves both branches: for u<0, 1-0.5*sqrt(1-3u) ==
+    # 1-0.5*sqrt(1+3|u|) bit-exactly (avoids NaN warnings from the
+    # unselected np.where arm when 1+3u < 0)
+    s = 0.5 * np.sqrt(1.0 + 3.0 * np.abs(u))
+    return np.where(u >= 0, s, 1.0 - s)
 
 
 def _ij_np(s: np.ndarray) -> np.ndarray:
     return np.clip(np.floor(s * float(1 << MAX_LEVEL)), 0, (1 << MAX_LEVEL) - 1).astype(np.int64)
+
+
+def _fold_np(face: np.ndarray, i: np.ndarray, j: np.ndarray, level: int) -> np.ndarray:
+    """(face, leaf i, leaf j) -> int64 cell id at ``level``. Hilbert fold,
+    4 bits per step; i,j padded to 32 bits (the two extra leading (0,0)
+    quadrants contribute 00-position bits and toggle the orientation
+    twice — a no-op, so the initial orientation face&1 holds)."""
+    orient = (face & 1).astype(np.int64)
+    pos = np.zeros_like(orient, dtype=np.uint64)
+    for k in range(7, -1, -1):
+        ni = (i >> (4 * k)) & 15
+        nj = (j >> (4 * k)) & 15
+        val = LUT4[(orient << 8) | (ni << 4) | nj]
+        pos = (pos << np.uint64(8)) | (val >> 2).astype(np.uint64)
+        orient = val & 3
+    leaf = (face.astype(np.uint64) << np.uint64(61)) | (pos << np.uint64(1)) | np.uint64(1)
+    lsb = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
+    snapped = (leaf & (~(lsb - np.uint64(1))) & ~lsb) | lsb
+    return snapped.view(np.int64)
 
 
 def s2_cell_from_xyz_np(x, y, z, level: int) -> np.ndarray:
@@ -138,21 +161,7 @@ def s2_cell_from_xyz_np(x, y, z, level: int) -> np.ndarray:
     face = _face_np(x, y, z)
     u, v = _uv_np(face, x, y, z)
     i, j = _ij_np(_st_np(u)), _ij_np(_st_np(v))
-    # Hilbert fold, 4 bits per step; i,j padded to 32 bits (the two extra
-    # leading (0,0) quadrants contribute 00-position bits and toggle the
-    # orientation twice — a no-op, so the initial orientation face&1 holds).
-    orient = (face & 1).astype(np.int64)
-    pos = np.zeros_like(orient, dtype=np.uint64)
-    for k in range(7, -1, -1):
-        ni = (i >> (4 * k)) & 15
-        nj = (j >> (4 * k)) & 15
-        val = LUT4[(orient << 8) | (ni << 4) | nj]
-        pos = (pos << np.uint64(8)) | (val >> 2).astype(np.uint64)
-        orient = val & 3
-    leaf = (face.astype(np.uint64) << np.uint64(61)) | (pos << np.uint64(1)) | np.uint64(1)
-    lsb = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
-    snapped = (leaf & (~(lsb - np.uint64(1))) & ~lsb) | lsb
-    return snapped.view(np.int64)
+    return _fold_np(face, i, j, level)
 
 
 def s2_cell_from_latlon_np(lat_deg, lon_deg, level: int) -> np.ndarray:
@@ -197,6 +206,105 @@ def s2_cell_scalar(x: float, y: float, z: float, level: int) -> int:
     lsb = 1 << (2 * (MAX_LEVEL - level))
     snapped = (leaf & ~(2 * lsb - 1)) | lsb
     return snapped - (1 << 64) if snapped >= (1 << 63) else snapped
+
+
+# ---------------------------------------------------------------------------
+# Cap covering (the filter half of S2-indexed dwithin / kNN joins).
+#
+# Method: for each face, bound the cap's u,v extent by interval
+# arithmetic — a cap point q satisfies |q·A - c·A| <= chord for any unit
+# axis A, and a point ON face f has q·N_f >= 1/sqrt(3) — so
+# u = (q·U)/(q·N) lies in an exactly computable interval. The st range
+# follows (uv->st is monotonic), then the level-k ij window (±1 cell
+# rounding margin). This is a rigorous SUPERSET of the cells containing
+# any point within ``chord`` of the center (false positives are removed
+# by the exact refine stage; a miss would be a correctness bug — the
+# test suite hunts for one with adversarial boundary sampling).
+# ---------------------------------------------------------------------------
+
+_FACE_N = np.array(FACE_NORM, dtype=np.float64)
+_FACE_U = np.array(FACE_UAXIS, dtype=np.float64)
+_FACE_V = np.array(FACE_VAXIS, dtype=np.float64)
+_MIN_FACE_DOT = 1.0 / np.sqrt(3.0) - 1e-12
+
+
+def s2_level_for_chord(chord: float, max_cells_per_side: float = 3.0) -> int:
+    """Coarsest level whose cap-cover window stays ~``max_cells_per_side``
+    cells wide: st-halfwidth <= (9/4)·theta (|du/dtheta| <= 3 on a face,
+    |ds/du| <= 3/4), so pick level with (9/4)·theta·2^k <= side."""
+    theta = 2.0 * float(np.arcsin(min(max(chord, 1e-15), 2.0) / 2.0))
+    k = int(np.floor(np.log2(max(max_cells_per_side / (2.25 * theta), 1.0))))
+    return max(0, min(MAX_LEVEL, k))
+
+
+def _interval_div(num_lo, num_hi, den_lo, den_hi):
+    """[num]/[den] with den > 0: elementwise interval quotient."""
+    lo = np.minimum(num_lo / den_lo, num_lo / den_hi)
+    hi = np.maximum(num_hi / den_lo, num_hi / den_hi)
+    return lo, hi
+
+
+def s2_cap_cells_np(x, y, z, chord, level: int) -> tuple[np.ndarray, np.ndarray]:
+    """Level-``level`` cells covering the cap of euclidean (chord) radius
+    ``chord`` around each direction. Inputs are normalized internally.
+    Returns CSR-style ``(row_ids, cells)``: for input row r, its cover is
+    ``cells[row_ids == r]`` (rows emitted in ascending order). ``chord``
+    may be a scalar or a per-row array."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+    nrm = np.sqrt(x * x + y * y + z * z)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x, y, z = x / nrm, y / nrm, z / nrm
+    eps = np.broadcast_to(np.asarray(chord, dtype=np.float64), x.shape)
+    n_rows = x.shape[0]
+    shift = MAX_LEVEL - level
+    max_idx = (1 << level) - 1
+    out_rows: list[np.ndarray] = []
+    out_cells: list[np.ndarray] = []
+    for f in range(6):
+        nf, uf, vf = _FACE_N[f], _FACE_U[f], _FACE_V[f]
+        dn = x * nf[0] + y * nf[1] + z * nf[2]
+        du = x * uf[0] + y * uf[1] + z * uf[2]
+        dv = x * vf[0] + y * vf[1] + z * vf[2]
+        den_lo = np.maximum(dn - eps, _MIN_FACE_DOT)
+        den_hi = dn + eps
+        active = den_lo <= den_hi
+        if not active.any():
+            continue
+        u_lo, u_hi = _interval_div(du - eps, du + eps, den_lo, den_hi)
+        v_lo, v_hi = _interval_div(dv - eps, dv + eps, den_lo, den_hi)
+        active &= (u_lo <= 1.0) & (u_hi >= -1.0) & (v_lo <= 1.0) & (v_hi >= -1.0)
+        if not active.any():
+            continue
+        idx = np.flatnonzero(active)
+        scale = float(1 << level)
+        i0 = np.clip(np.floor(_st_np(np.clip(u_lo[idx], -1.0, 1.0)) * scale) - 1, 0, max_idx).astype(np.int64)
+        i1 = np.clip(np.floor(_st_np(np.clip(u_hi[idx], -1.0, 1.0)) * scale) + 1, 0, max_idx).astype(np.int64)
+        j0 = np.clip(np.floor(_st_np(np.clip(v_lo[idx], -1.0, 1.0)) * scale) - 1, 0, max_idx).astype(np.int64)
+        j1 = np.clip(np.floor(_st_np(np.clip(v_hi[idx], -1.0, 1.0)) * scale) + 1, 0, max_idx).astype(np.int64)
+        wi, wj = i1 - i0 + 1, j1 - j0 + 1
+        cnt = wi * wj
+        total = int(cnt.sum())
+        if total == 0:
+            continue
+        rep = np.repeat(np.arange(len(idx)), cnt)
+        off = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        di, dj = off // wj[rep], off % wj[rep]
+        ii = (i0[rep] + di) << shift
+        jj = (j0[rep] + dj) << shift
+        fface = np.full(total, f, dtype=np.int64)
+        out_rows.append(idx[rep])
+        out_cells.append(_fold_np(fface, ii, jj, level))
+    if not out_rows:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    rows = np.concatenate(out_rows)
+    cells = np.concatenate(out_cells)
+    order = np.argsort(rows, kind="stable")
+    del n_rows
+    return rows[order], cells[order]
 
 
 # ---------------------------------------------------------------------------
