@@ -378,16 +378,29 @@ def q_grid_view_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_stdfeats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """StdFeats (reference ``test/feature.jl:10``): every fractional
-    column standardized, categorical/int columns untouched."""
-    cust = _cust_points(spark, sf_dir, keep=["c_acctbal", "c_nationkey"])
-    g = cust._with(cust.df.withColumn("half_bal", F.col("c_acctbal") * 0.5))
+def q_feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZScore + StdFeats + OneHot in one gated pipeline (r2's
+    feature_zscore + stdfeats entries MERGED so both ops keep full
+    oracle evidence under the driver's 50-entry cap): filter → onehot
+    (int columns, which StdFeats must leave alone — reference
+    ``test/feature.jl:10``: only Continuous features standardize) →
+    StdFeats standardizes the two fractional columns → ZScore
+    re-standardizes one of them (a z of a z — ~identity in exact math,
+    a distinct float op path; the oracle replays both stages)."""
+    cust = _cust_points(
+        spark, sf_dir, keep=["c_acctbal", "c_mktsegment", "c_nationkey"]
+    )
+    g = TR.filter_rows(cust, F.col("c_acctbal") > 0.0)
+    g = TR.onehot(g, "c_mktsegment", ["BUILDING", "MACHINERY"])
+    g = g._with(g.df.withColumn("half_bal", F.col("c_acctbal") * 0.5))
     g = TR.stdfeats(g)
+    g = TR.zscore(g, "half_bal")
     return g.df.select(
         F.col(ROW_ID).alias("c_custkey"),
         F.round(F.col("c_acctbal"), 6).alias("z_bal"),
         F.round(F.col("half_bal"), 6).alias("z_half"),
+        F.col("c_mktsegment_BUILDING").cast("long").alias("seg_building"),
+        F.col("c_mktsegment_MACHINERY").cast("long").alias("seg_machinery"),
         F.col("c_nationkey").cast("long").alias("nat"),
     )
 
@@ -742,19 +755,6 @@ def q_learn_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _cust_points(spark, sf_dir, keep=["c_acctbal", "c_mktsegment"])
-    g = TR.filter_rows(cust, F.col("c_acctbal") > 0.0)
-    g = TR.onehot(g, "c_mktsegment", ["BUILDING", "MACHINERY"])
-    g = TR.zscore(g, "c_acctbal")
-    return g.df.select(
-        F.col(ROW_ID).alias("c_custkey"),
-        F.round(F.col("c_acctbal"), 6).alias("z_bal"),
-        F.col("c_mktsegment_BUILDING").cast("long").alias("seg_building"),
-        F.col("c_mktsegment_MACHINERY").cast("long").alias("seg_machinery"),
-    )
-
-
 def q_scale_minmax_iq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinMax + Interquartile scalers (reference ``test/feature.jl:26,30``)
     in one gated query — both are window-free global-stat aggregates
@@ -825,6 +825,24 @@ _SQL_SUPP_XYZ = """(
 )"""
 
 
+# unit-sphere CTEs shared by the s2_dwithin / s2_knn oracles: the same
+# normalize expression as geojoin_s2.s2_point_prep, bit-exact (sqrt and
+# divide are IEEE exact-rounded in both engines)
+_SQL_SPHERE_CTES = f"""
+            l0 AS (SELECT doc_id AS lid, px, py, pz FROM {_SQL_SUPP_XYZ} s),
+            l AS (SELECT lid,
+                         px / sqrt(px*px + py*py + pz*pz) AS nx,
+                         py / sqrt(px*px + py*py + pz*pz) AS ny,
+                         pz / sqrt(px*px + py*py + pz*pz) AS nz
+                  FROM l0 WHERE sqrt(px*px + py*py + pz*pz) > 0),
+            r0 AS (SELECT doc_id AS rid, px, py, pz FROM {_SQL_DOCS_XYZ} d),
+            r AS (SELECT rid,
+                         px / sqrt(px*px + py*py + pz*pz) AS nx,
+                         py / sqrt(px*px + py*py + pz*pz) AS ny,
+                         pz / sqrt(px*px + py*py + pz*pz) AS nz
+                  FROM r0 WHERE sqrt(px*px + py*py + pz*pz) > 0)"""
+
+
 def _s2_sql(source: str, level: int, keep: list[str]) -> str:
     """Generated DuckDB twin of ``with_s2_cell`` (geom/s2.py) — bit-exact
     by the module's determinism contract."""
@@ -851,36 +869,67 @@ def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_s2_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 cells as the candidate-join key (the filter half of the
-    filter/refine spatial join, sphere-correct): pages at level 3 inner-
-    joined against the distinct level-3 cells of the supplier "hub"
-    table. The hub side is tiny → broadcast; the page side never
-    shuffles. This is the join shape the planar geojoin uses, shown on
-    the S2 index with a full SQL oracle."""
-    from geotables_jl_spark.geom.s2 import with_s2_cell
+_S2_CHORD = 0.2  # dwithin radius (euclidean chord between unit vectors)
 
-    pages = with_s2_cell(_docs_xyz(spark, sf_dir), 3, out="s2_cell", xyz=("px", "py", "pz"))
-    pages = pages.where(F.col("s2_cell").isNotNull())
+
+def _supp_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers as unit-sphere query points — deliberately the SAME
+    integer xyz recipe as ``_docs_xyz`` keyed by s_suppkey, so a doc and
+    a supplier sharing an id sit at the IDENTICAL position: the gate
+    then exercises chord2==0 ties for real (tie-break by ascending
+    rid, engine and oracle alike)."""
+    from geotables_jl_spark.operators.geojoin_s2 import s2_point_prep
+
     supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
-        F.col("s_suppkey").alias("doc_id")  # reuse the same hash recipe
+        F.col("s_suppkey").alias("lid")
     )
-    k = F.col("doc_id")
+    k = F.col("lid")
     supp = (
         supp.withColumn("px", ((k * 104729) % 2001) / 1000.0 - 1.0)
         .withColumn("py", ((k * 7919) % 2001) / 1000.0 - 1.0)
         .withColumn("pz", ((k * 31337) % 2001) / 1000.0 - 1.0)
     )
-    hubs = (
-        with_s2_cell(supp, 3, out="s2_cell", xyz=("px", "py", "pz"))
-        .where(F.col("s2_cell").isNotNull())
-        .select("s2_cell")
-        .distinct()
+    return s2_point_prep(supp, "lid", xyz=("px", "py", "pz"))
+
+
+def _docs_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geotables_jl_spark.operators.geojoin_s2 import s2_point_prep
+
+    pages = _docs_xyz(spark, sf_dir).select(F.col("doc_id").alias("rid"), "px", "py", "pz")
+    return s2_point_prep(pages, "rid", xyz=("px", "py", "pz"))
+
+
+def q_s2_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end S2 dwithin join (supersedes r3's interim s2_cell_join
+    entry): filter = cap-cover cell equality (suppliers explode to their
+    interval-arithmetic cover, pages carry ONE cell — both stay
+    shuffle-join shaped at 10^12 rows), refine = exact chord² in
+    codegen. The oracle is a plain cross-join distance filter, so a
+    cover bug (a missed cell) drops pairs and fails the row gate — the
+    strongest driver-side evidence the cover is a true superset."""
+    from geotables_jl_spark.operators.geojoin_s2 import s2_dwithin_join
+
+    out = s2_dwithin_join(
+        _supp_sphere(spark, sf_dir), _docs_sphere(spark, sf_dir), _S2_CHORD
     )
-    return (
-        pages.join(F.broadcast(hubs), on="s2_cell", how="inner")
-        .groupBy("s2_cell")
-        .agg(F.count(F.lit(1)).alias("n_pages"), F.min("doc_id").alias("min_doc"))
+    return out.select("lid", "rid", "chord2")
+
+
+def q_s2_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 kNN join via cell-ring expansion (the north rule's "kNN via
+    cell-ring expansion over the cell index with distance refinement",
+    sphere-correct): k=5 nearest pages per supplier, certify-or-escalate
+    rounds, tie order (chord2, rid). Full window-function SQL oracle.
+    ``n_right`` comes from the parquet footer count (metadata-only job)
+    — the stats-injection escape hatch, not a table scan."""
+    from geotables_jl_spark.operators.geojoin_s2 import s2_knn_join
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    out = s2_knn_join(
+        _supp_sphere(spark, sf_dir), _docs_sphere(spark, sf_dir), 5, n_right=n_docs
+    )
+    return out.select(
+        "lid", "rid", "chord2", F.col("rank").cast("long").alias("rank")
     )
 
 
@@ -911,7 +960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojoin_within": q_geojoin_within,
         "geojoin_knn": q_geojoin_knn,
         "s2_cells": q_s2_cells,
-        "s2_cell_join": q_s2_cell_join,
+        "s2_dwithin": q_s2_dwithin,
+        "s2_knn": q_s2_knn,
         "tablejoin_orders": q_tablejoin_orders,
         # NOTE: CORRECTNESS_r02 recorded exactly 50 of 51 registry entries
         # and the missing one (tablejoin_aggs) was the 51st dict entry —
@@ -920,12 +970,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is smallest (webpages_identity — webpages_extract_text already
         # gates the byte-identical text invariant on the same table) sits
         # last, so a cap drops it and nothing else.  To fit the round-3
-        # additions (s2_cells, s2_cell_join, repetition_stats) in the gated
-        # 50, three near-twin r2 entries were MERGED, not dropped — every
-        # op keeps driver-gated oracle evidence under the new names:
+        # additions (s2_cells, s2_dwithin, s2_knn, repetition_stats) in
+        # the gated 50, near-twin r2 entries were MERGED, not dropped —
+        # every op keeps driver-gated oracle evidence under the new names:
         #   minmax_scale + interquartile  -> scale_minmax_iq
         #   functional_sqrt + dropextrema -> functional_dropextrema
         #   bpe_tokens                    -> text_stats (n_bpe column)
+        #   feature_zscore + stdfeats     -> feature_standardize
+        # and the interim s2_cell_join entry was SUPERSEDED by s2_dwithin
+        # (whose filter stage IS the cell equi-join, now end-to-end gated
+        # against a plain cross-join distance oracle).
         "tablejoin_aggs": q_tablejoin_aggs,
         "groupby_combine": q_groupby_combine,
         "combine_multi": q_combine_multi,
@@ -941,7 +995,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_subset": q_grid_subset,
         "grid_view_box": q_grid_view_box,
         "functional_dropextrema": q_functional_dropextrema,
-        "stdfeats": q_stdfeats,
         "spatial_select": q_spatial_select,
         "text_stats": q_text_stats,
         "repetition_stats": q_repetition_stats,
@@ -963,7 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_direction": q_partition_direction,
         "dedup_url": q_dedup_url,
         "multimodal_meta": q_multimodal_meta,
-        "feature_zscore": q_feature_zscore,
+        "feature_standardize": q_feature_standardize,
         "scale_minmax_iq": q_scale_minmax_iq,
         "learn_ols": q_learn_ols,
         "webpages_extract_text": q_webpages_extract_text,
@@ -1257,14 +1310,38 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_s2_sql(_SQL_DOCS_XYZ, 4, keep=["n_chars"])})
             GROUP BY s2_cell
         """,
-        "s2_cell_join": f"""
-            SELECT p.s2_cell, count(*) AS n_pages,
-                   CAST(min(p.doc_id) AS BIGINT) AS min_doc
-            FROM ({_s2_sql(_SQL_DOCS_XYZ, 3, keep=["doc_id"])}) p
-            JOIN (SELECT DISTINCT s2_cell
-                  FROM ({_s2_sql(_SQL_SUPP_XYZ, 3, keep=[])})) h
-              USING (s2_cell)
-            GROUP BY p.s2_cell
+        # s2_dwithin / s2_knn: the oracle is a plain cross-join distance
+        # filter / window top-k — it shares NO code with the engine's
+        # cover+cell plan, so a cover bug (missed cell => dropped pair)
+        # fails the row gate. chord2 is bit-exact in both engines: the
+        # same normalize (x / sqrt(x*x+y*y+z*z)) and the same left-assoc
+        # (dx*dx + dy*dy + dz*dz), all IEEE exact-rounded ops; the radius
+        # literal is repr(0.2*0.2) so both compare against the same bits.
+        "s2_dwithin": f"""
+            WITH {_SQL_SPHERE_CTES}
+            SELECT l.lid, r.rid,
+                   (l.nx-r.nx)*(l.nx-r.nx) + (l.ny-r.ny)*(l.ny-r.ny)
+                     + (l.nz-r.nz)*(l.nz-r.nz) AS chord2
+            FROM l, r
+            WHERE (l.nx-r.nx)*(l.nx-r.nx) + (l.ny-r.ny)*(l.ny-r.ny)
+                    + (l.nz-r.nz)*(l.nz-r.nz) <= {_S2_CHORD * _S2_CHORD!r}
+        """,
+        "s2_knn": f"""
+            WITH {_SQL_SPHERE_CTES},
+            d AS (
+              SELECT l.lid, r.rid,
+                     (l.nx-r.nx)*(l.nx-r.nx) + (l.ny-r.ny)*(l.ny-r.ny)
+                       + (l.nz-r.nz)*(l.nz-r.nz) AS chord2
+              FROM l, r
+            ),
+            k AS (
+              SELECT lid, rid, chord2,
+                     row_number() OVER (PARTITION BY lid
+                                        ORDER BY chord2, rid) AS rnk
+              FROM d
+            )
+            SELECT lid, rid, chord2, CAST(rnk AS BIGINT) AS rank
+            FROM k WHERE rnk <= 5
         """,
         "repetition_stats": r"""
             WITH d AS (SELECT doc_id, text FROM documents),
@@ -1298,16 +1375,25 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN wstat USING (doc_id) LEFT JOIN wtop USING (doc_id)
             LEFT JOIN btop USING (doc_id)
         """,
-        "stdfeats": """
+        "feature_standardize": """
             WITH f AS (SELECT c_custkey, c_acctbal, c_acctbal * 0.5 AS half_bal,
-                              c_nationkey FROM customer),
+                              c_mktsegment, c_nationkey
+                       FROM customer WHERE c_acctbal > 0.0),
             s AS (SELECT avg(c_acctbal) AS m1, stddev_samp(c_acctbal) AS s1,
-                         avg(half_bal) AS m2, stddev_samp(half_bal) AS s2 FROM f)
+                         avg(half_bal) AS m2, stddev_samp(half_bal) AS s2 FROM f),
+            z AS (SELECT c_custkey,
+                         (c_acctbal - s.m1) / s.s1 AS zb,
+                         (half_bal - s.m2) / s.s2 AS zh,
+                         c_mktsegment, c_nationkey
+                  FROM f, s),
+            s2 AS (SELECT avg(zh) AS m3, stddev_samp(zh) AS s3 FROM z)
             SELECT c_custkey,
-                   round((c_acctbal - s.m1) / s.s1, 6) AS z_bal,
-                   round((half_bal - s.m2) / s.s2, 6) AS z_half,
+                   round(zb, 6) AS z_bal,
+                   round((zh - s2.m3) / s2.s3, 6) AS z_half,
+                   CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS BIGINT) AS seg_building,
+                   CAST(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS BIGINT) AS seg_machinery,
                    CAST(c_nationkey AS BIGINT) AS nat
-            FROM f, s
+            FROM z, s2
         """,
         "spatial_select": f"""
             SELECT c_custkey FROM (SELECT c_custkey, {SQL_CX} AS cx, {SQL_CY} AS cy FROM customer)
@@ -1611,14 +1697,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) + 26 AS BIGINT) AS n_bytes,
                    CAST(floor(greatest((length(text) + 26) // 1000 * 1000 - 1, 0) / 1000) + 1 AS BIGINT) AS n_frames
             FROM pages
-        """,
-        "feature_zscore": """
-            WITH f AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer WHERE c_acctbal > 0.0),
-            s AS (SELECT avg(c_acctbal) AS m, stddev_samp(c_acctbal) AS sd FROM f)
-            SELECT c_custkey, round((c_acctbal - s.m)/s.sd, 6) AS z_bal,
-                   CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS BIGINT) AS seg_building,
-                   CAST(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS BIGINT) AS seg_machinery
-            FROM f, s
         """,
         "learn_ols": """
             WITH f AS (SELECT c_custkey,

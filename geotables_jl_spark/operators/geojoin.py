@@ -988,14 +988,75 @@ def knn_join(
     k: int,
     on: Iterable[str] | None = None,
     cell_size: float | None = None,
+    metric: str = "planar",
+    n_right: int | None = None,
 ) -> DataFrame:
     """Pair-level kNN join: one row per (left row, neighbor) with distance
     and rank — the non-aggregated form. For the aggregate-on-match form use
-    ``geojoin(..., pred='knn', k=k)``."""
+    ``geojoin(..., pred='knn', k=k)``.
+
+    ``metric='planar'`` (default) ranks by euclidean distance in the
+    left CRS's coordinate plane (the reference's semantics — GeoTables
+    kNN searches the embedding space of the domain,
+    ``/root/reference/src/geoops/geojoin.jl``). ``metric='sphere'``
+    ranks by great-circle distance instead, via the S2 cell-ring join
+    (``operators/geojoin_s2``): correct across the antimeridian and at
+    the poles, where planar LatLon distance is wrong. Sphere mode
+    requires a LatLon CRS and POINT geometry (rows with null point
+    coords are dropped), reports ``distance`` as the central angle in
+    RADIANS (multiply by the earth radius for meters), and does not
+    support ``on=`` conjuncts. ``n_right`` is the sphere path's
+    stats-injection escape hatch (skips one count job)."""
     if gtb2.crs != gtb1.crs:
         from geotables_jl_spark.functions.crs import reproject
 
         gtb2 = reproject(gtb2, gtb1.crs)
+    if metric == "sphere":
+        if on:
+            raise ValueError("metric='sphere' does not support on= conjuncts")
+        from geotables_jl_spark.functions.crs import canonical_crs
+        from geotables_jl_spark.operators.geojoin_s2 import s2_knn_join, s2_point_prep
+
+        if canonical_crs(gtb1.crs) != "LatLon":
+            raise ValueError(
+                f"metric='sphere' needs a LatLon CRS, got {gtb1.crs!r} — "
+                "reproject first or use metric='planar'"
+            )
+        lp = s2_point_prep(
+            gtb1.df.select(
+                F.col(ROW_ID).alias("lid"),
+                F.col(GEOM)["y"].alias("lat"),
+                F.col(GEOM)["x"].alias("lon"),
+            ),
+            "lid",
+            latlon=("lat", "lon"),
+        )
+        df2, _ = _rename_collisions(gtb1.df, gtb2.df, [])
+        rp = s2_point_prep(
+            df2.select(
+                F.col(ROW_ID).alias("rid"),
+                F.col(GEOM)["y"].alias("lat"),
+                F.col(GEOM)["x"].alias("lon"),
+            ),
+            "rid",
+            latlon=("lat", "lon"),
+        )
+        pairs = s2_knn_join(lp, rp, k, n_right=n_right)
+        out = pairs.select(
+            F.col("lid").alias("row_id"),
+            F.col("rid").alias("neighbor_id"),
+            (2.0 * F.asin(F.sqrt(F.col("chord2")) / 2.0)).alias("distance"),
+            F.col("rank"),
+        )
+        extra = [c for c in df2.columns if c not in (ROW_ID, GEOM)]
+        if extra:
+            attrs = df2.select(F.col(ROW_ID).alias("neighbor_id"), *extra)
+            out = out.join(attrs, "neighbor_id", "left").select(
+                "row_id", "neighbor_id", "distance", "rank", *extra
+            )
+        return out
+    if metric != "planar":
+        raise ValueError(f"unknown metric {metric!r} (planar|sphere)")
     df2, _ = _rename_collisions(gtb1.df, gtb2.df, list(on or []))
     extra = [c for c in df2.columns if c not in (ROW_ID, GEOM)]
     pairs = knn_pairs(gtb1.df, df2, k=k, on=list(on or []), extra=extra, cell_size=cell_size)

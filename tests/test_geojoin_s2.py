@@ -181,3 +181,47 @@ def test_point_prep_latlon_and_zero(spark):
     assert np.allclose(out.iloc[0][["nx", "ny", "nz"]].to_numpy().astype(float), [1, 0, 0], atol=1e-12)
     zdf = spark.createDataFrame(pd.DataFrame({"id": [1], "x": [0.0], "y": [0.0], "z": [0.0]}))
     assert s2_point_prep(zdf, "id", xyz=("x", "y", "z")).count() == 0
+
+
+def test_knn_join_sphere_metric_antimeridian(spark):
+    """knn_join(metric='sphere') ranks by great-circle distance: across
+    the antimeridian the nearest neighbor is at lon -179.9 (0.2 deg of
+    arc), which planar LatLon distance ranks FARTHEST (359.8 units)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geotables_jl_spark import georef, knn_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"row_id": [0], "lat": [0.0], "lon": [179.9]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {"row_id": [1, 2], "lat": [0.0, 0.0], "lon": [-179.9, 170.0], "name": ["x", "y"]}
+        )
+    )
+    gl = georef(left, coords=["lat", "lon"])
+    gr = georef(right, coords=["lat", "lon"])
+    sph = knn_join(gl, gr, k=2, metric="sphere", n_right=2).toPandas().sort_values("rank")
+    assert list(sph["neighbor_id"]) == [1, 2]
+    assert abs(sph.iloc[0]["distance"] - np.radians(0.2)) < 1e-9
+    assert list(sph["name_"] if "name_" in sph else sph["name"]) == ["x", "y"]
+    pla = knn_join(gl, gr, k=2).toPandas().sort_values("rank")
+    assert list(pla["neighbor_id"]) == [2, 1]  # planar gets it wrong
+
+
+def test_knn_join_sphere_rejects(spark):
+    import pandas as pd
+    import pytest as _pt
+
+    from geotables_jl_spark import georef, knn_join
+    from geotables_jl_spark.functions.crs import reproject
+
+    df = spark.createDataFrame(pd.DataFrame({"row_id": [0], "lat": [1.0], "lon": [2.0]}))
+    g = georef(df, coords=["lat", "lon"])
+    with _pt.raises(ValueError, match="on="):
+        knn_join(g, g, k=1, metric="sphere", on=["row_id"])
+    with _pt.raises(ValueError, match="LatLon"):
+        knn_join(reproject(g, "EPSG:3857"), reproject(g, "EPSG:3857"), k=1, metric="sphere")
+    with _pt.raises(ValueError, match="unknown metric"):
+        knn_join(g, g, k=1, metric="euclid")
