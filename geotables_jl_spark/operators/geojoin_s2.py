@@ -201,6 +201,16 @@ def s2_knn_join(
         cand = l.join(rr, on="__cell", how="inner").select(
             "lid", "rid", _chord2("l", "r").alias("chord2")
         )
+        # candidates beyond the covered radius can never certify a row
+        # (a row with < k survivors fails the __n >= k certificate and is
+        # recomputed at the escalated radius anyway) — filter them out
+        # BEFORE the window so the lid-shuffle carries ~cap-area rows,
+        # not ~cover-area rows (the cover oversamples the cap ~6×).
+        # Skipped on the full-sphere round: there the filter saves nothing
+        # and an ulp of fp error at exactly-antipodal chord2 == 4 could
+        # drop an exact candidate.
+        if chord < 2.0:
+            cand = cand.where(F.col("chord2") <= F.lit(chord * chord))
         # top-k per lid (partitioned window — one shuffle on lid)
         from pyspark.sql import Window
 
