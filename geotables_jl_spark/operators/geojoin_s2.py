@@ -3,13 +3,20 @@ reference's geojoin matching (``/root/reference/src/geoops/geojoin.jl``:
 brute-force nested loops over ``intersects``/kNN) as the mandated
 two-stage cell-indexed broadcast-or-shuffle join:
 
-1. **filter** — candidate pairs by S2 cell equality: the right side
-   carries its single level-k cell (pure JVM codegen,
-   ``geom/s2.with_s2_cell``); the left side explodes to the rigorous
-   cap cover of its search radius (vectorized numpy Arrow kernel,
-   ``geom/s2.s2_cap_cells_np``). Optional explicit salting splits
-   pathological cells (megacities at web scale) beyond what AQE's
-   skew-join handles.
+1. **filter** — candidate pairs by S2 cell equality: ONE side carries
+   its single level-k cell (pure JVM codegen,
+   ``geom/s2.with_s2_cell``); the OTHER side explodes to the rigorous
+   cap cover of the search radius (vectorized numpy Arrow kernel,
+   ``geom/s2.s2_cap_cells_np``). Which side explodes is the key
+   web-scale knob (``expand=``): if ``dist(l, r) <= chord`` then each
+   point lies in the other's cap, so covering EITHER side's caps while
+   the other keeps its single cell finds every qualifying pair — and
+   the single-cell side meets each cover at most once, so no dedup
+   either way. Explode the SMALL side: the 10^12-row side then never
+   leaves JVM codegen (scan → cell id → hash join → chord² refine),
+   and the ~10-25× cover blow-up lands on the side that fits in a
+   broadcast. Optional explicit salting splits pathological cells
+   (megacities at web scale) beyond what AQE's skew-join handles.
 2. **refine** — exact chord-distance predicate in whole-stage codegen
    (no Python): a right point has exactly one cell, so a pair meets in
    at most one cell and needs no dedup.
@@ -23,10 +30,14 @@ correspondingly coarser level) next round. ``chord >= 2`` covers the
 whole sphere, so the loop degrades gracefully to brute force and is
 exact at any k without a special arm.
 
-Scale shape: the right table never shuffles more than once per round
-(hash on cell id, or broadcast when small); the left explodes ~10-25×
-into its cover, the published inverted-index trade. Rounds after the
-first touch only uncertified rows (empty-region points), a vanishing
+Scale shape: with a broadcastable directory (``broadcast_right``) the
+whole kNN round is a SHUFFLE-FREE map pipeline — scan → cell id (Arrow
+numpy LUT) → broadcast hash join (codegen) → chord² refine (codegen) →
+streaming per-lid top-k (Arrow, exploits the join's lid-contiguity) —
+so round throughput scales with cores by construction. In the shuffle
+arm (directory too big to broadcast) each round shuffles the cell
+equi-join once plus one lid window; either way rounds after the first
+touch only uncertified rows (empty-region points), a vanishing
 fraction under any realistic density.
 """
 
@@ -87,25 +98,31 @@ def _chord2(l: str, r: str) -> Column:
     return dx * dx + dy * dy + dz * dz
 
 
-def _cover_explode(left: DataFrame, chord_col: str | None, chord: float | None,
-                   level: int, extra: list[str]) -> DataFrame:
-    """Arrow kernel: explode each left point into its cap-cover cells.
-    ``chord_col`` names a per-row radius column (kNN rounds) or ``chord``
-    is a constant (dwithin)."""
-    cols = ["lid", "lx", "ly", "lz"] + extra + ([chord_col] if chord_col else [])
-    src = left.select(*cols)
-    schema = ", ".join(
-        [f"{c} double" if c not in ("lid",) else "lid long" for c in cols]
-    ) + ", __cell long"
+def _tagged(df: DataFrame, tag: str) -> DataFrame:
+    """(lid|rid, nx, ny, nz) -> (lid|rid, {t}x, {t}y, {t}z)."""
+    return df.select(
+        F.col(tag + "id"),
+        F.col("nx").alias(tag + "x"),
+        F.col("ny").alias(tag + "y"),
+        F.col("nz").alias(tag + "z"),
+    )
+
+
+def _cover_explode(side: DataFrame, chord: float, level: int, tag: str) -> DataFrame:
+    """Arrow kernel: explode each point of a ``_tagged`` side into its
+    cap-cover cells (radius ``chord``). This is the Python-touching
+    stage — run it on the SMALL side (see module docstring)."""
+    idc, xc, yc, zc = tag + "id", tag + "x", tag + "y", tag + "z"
+    src = side.select(idc, xc, yc, zc)
+    schema = f"{idc} long, {xc} double, {yc} double, {zc} double, __cell long"
 
     def _iter(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ch = pdf[chord_col].to_numpy() if chord_col else chord
             rows, cells = s2.s2_cap_cells_np(
-                pdf["lx"].to_numpy(), pdf["ly"].to_numpy(), pdf["lz"].to_numpy(),
-                ch, level,
+                pdf[xc].to_numpy(), pdf[yc].to_numpy(), pdf[zc].to_numpy(),
+                chord, level,
             )
             out = pdf.iloc[rows].reset_index(drop=True)
             out["__cell"] = cells
@@ -114,12 +131,127 @@ def _cover_explode(left: DataFrame, chord_col: str | None, chord: float | None,
     return src.mapInPandas(_iter, schema=schema)
 
 
-def _right_cells(right: DataFrame, level: int) -> DataFrame:
-    r = right.select(
-        F.col("rid"), F.col("nx").alias("rx"), F.col("ny").alias("ry"), F.col("nz").alias("rz")
-    )
-    r = s2.with_s2_cell(r, level, out="__cell", xyz=("rx", "ry", "rz"))
-    return r.where(F.col("__cell").isNotNull())
+def _cell_side(side: DataFrame, level: int, tag: str, engine: str = "arrow") -> DataFrame:
+    """Single level-``level`` cell per point of a ``_tagged`` side — the
+    stage the 10^12-row side takes. ``engine='arrow'`` (default) runs
+    the vectorized numpy LUT kernel in one Arrow map stage (~6× the
+    throughput of the SQL twin, whose ``aggregate()`` Hilbert fold is
+    JVM-interpreted per row); ``engine='codegen'`` keeps the pure-SQL
+    expression (no Python worker anywhere — oracle replays and
+    restricted clusters). Both are bit-identical on any IEEE-754
+    platform (property-tested in tests/test_s2.py)."""
+    if engine == "codegen":
+        s = s2.with_s2_cell(side, level, out="__cell", xyz=(tag + "x", tag + "y", tag + "z"))
+        return s.where(F.col("__cell").isNotNull())
+    idc, xc, yc, zc = tag + "id", tag + "x", tag + "y", tag + "z"
+    src = side.select(idc, xc, yc, zc)
+    schema = f"{idc} long, {xc} double, {yc} double, {zc} double, __cell long"
+
+    def _iter(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x, y, z = (pdf[c].to_numpy() for c in (xc, yc, zc))
+            ok = (x != 0) | (y != 0) | (z != 0)  # codegen emits NULL here
+            if not ok.all():
+                pdf = pdf.iloc[np.flatnonzero(ok)].reset_index(drop=True)
+                x, y, z = x[ok], y[ok], z[ok]
+            pdf["__cell"] = s2.s2_cell_from_xyz_np(x, y, z, level)
+            yield pdf
+
+    return src.mapInPandas(_iter, schema=schema)
+
+
+def _topk_stream(cand: DataFrame, k: int) -> DataFrame:
+    """Per-lid top-k by (chord2, rid) WITHOUT a shuffle — the broadcast
+    arm's replacement for ``row_number() over (partition by lid)``.
+
+    Correctness rests on a construction guarantee of the callers: on the
+    broadcast plan, candidate rows are lid-contiguous within each
+    partition (the stream side carries each lid's single cell row — or
+    its cover-explode run, emitted contiguously by the CSR kernel — and
+    the broadcast hash join emits each stream row's matches
+    consecutively; no exchange ever sits between). A streaming Arrow
+    kernel with cross-batch carry of the trailing run then computes the
+    exact top-k per lid: batch-local lexsort on (run, chord2, rid) and a
+    vectorized rank-within-run, never a per-row Python loop. At web
+    scale this turns the kNN round into a pure map pipeline — scan →
+    cell id → broadcast join → refine → top-k — with no shuffle at all.
+    """
+    schema = "lid long, rid long, chord2 double, rank integer"
+
+    def _part(batches):
+        hold: list[pd.DataFrame] = []  # trailing (possibly open) run
+
+        def _emit(pdf):
+            lid = pdf["lid"].to_numpy()
+            c2 = pdf["chord2"].to_numpy()
+            rid = pdf["rid"].to_numpy()
+            n = len(lid)
+            run = np.zeros(n, dtype=np.int64)
+            run[1:] = lid[1:] != lid[:-1]
+            run = np.cumsum(run)
+            order = np.lexsort((rid, c2, run))
+            run_s = run[order]
+            counts = np.bincount(run_s)
+            starts = np.repeat(np.cumsum(counts) - counts, counts)
+            rank = np.arange(n, dtype=np.int64) - starts
+            keep = order[rank < k]
+            out = pd.DataFrame(
+                {
+                    "lid": lid[keep],
+                    "rid": rid[keep],
+                    "chord2": c2[keep],
+                    "rank": (rank[rank < k] + 1).astype(np.int32),
+                }
+            )
+            return out
+
+        last_lid = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lid = pdf["lid"].to_numpy()
+            if hold and lid[0] != last_lid:
+                yield _emit(pd.concat(hold, ignore_index=True))
+                hold = []
+            # hold back the trailing run — it may continue next batch
+            cut = int(np.flatnonzero(lid != lid[-1])[-1]) + 1 if (lid != lid[-1]).any() else 0
+            if cut > 0:
+                closed = pdf.iloc[:cut]
+                if hold:
+                    closed = pd.concat([*hold, closed], ignore_index=True)
+                    hold = []
+                yield _emit(closed)
+            hold.append(pdf.iloc[cut:])
+            last_lid = lid[-1]
+        if hold:
+            yield _emit(pd.concat(hold, ignore_index=True))
+
+    return cand.select("lid", "rid", "chord2").mapInPandas(_part, schema=schema)
+
+
+def _expand_mode(expand: str | None, broadcast_right: bool | None) -> str:
+    """Default explode side: the broadcastable (small) right when the
+    caller marked it so, else the left (the gated small-left queries)."""
+    if expand is None:
+        return "right" if broadcast_right else "left"
+    if expand not in ("left", "right"):
+        raise ValueError("expand must be 'left', 'right', or None")
+    return expand
+
+
+def _cell_pair(left_t: DataFrame, right_t: DataFrame, chord: float, level: int,
+               expand: str) -> tuple[DataFrame, DataFrame]:
+    """(l, r) keyed by __cell: ``expand`` names the side that explodes
+    to the cap cover; the other carries its one codegen cell. Either
+    orientation finds every pair with dist <= chord exactly once: the
+    single-cell point lies inside the other's cap, so its cell is in
+    that cap's rigorous cover — and it has only one cell, so the pair
+    meets in at most one cell (no dedup)."""
+    if expand == "left":
+        return _cover_explode(left_t, chord, level, "l"), _cell_side(right_t, level, "r")
+    return _cell_side(left_t, level, "l"), _cover_explode(right_t, chord, level, "r")
 
 
 def s2_dwithin_join(
@@ -129,23 +261,28 @@ def s2_dwithin_join(
     level: int | None = None,
     salt: int = 1,
     broadcast_right: bool | None = None,
+    expand: str | None = None,
 ) -> DataFrame:
     """All (lid, rid, chord2) pairs with euclidean chord distance <=
     ``chord`` between unit vectors (monotone in great-circle distance:
     chord = 2·sin(angle/2)). Inputs are ``s2_point_prep`` outputs with
     columns (lid|rid, nx, ny, nz).
 
-    Plan: right → single cell id (codegen); left → cap-cover explode
-    (Arrow); equi-join on cell (broadcast if ``broadcast_right``, else
-    shuffle with optional ``salt``-way hot-cell splitting); exact chord²
-    refine in codegen. No dedup needed (right cell unique per rid)."""
-    lvl = level if level is not None else s2.s2_level_for_chord(chord)
-    l = _cover_explode(
-        left.select(F.col("lid"), F.col("nx").alias("lx"), F.col("ny").alias("ly"),
-                    F.col("nz").alias("lz")),
-        None, chord, lvl, [],
+    Plan: one side → single cell id (codegen), the other (``expand``,
+    default: the small/broadcast side) → cap-cover explode (Arrow);
+    equi-join on cell (broadcast if ``broadcast_right``, else shuffle
+    with optional ``salt``-way hot-cell splitting); exact chord² refine
+    in codegen. No dedup needed (the single-cell side meets each cover
+    at most once)."""
+    # one level finer than the cover-bound default: the explode lands on
+    # the small side, and the tighter window cuts candidate pairs ~2×
+    # per level (measured: 2.36B→1.09B 5→6 on the 5M-page profile) while
+    # the join stays the dominant cost
+    lvl = level if level is not None else s2.s2_level_for_chord(chord, 6.0)
+    l, r = _cell_pair(
+        _tagged(left, "l"), _tagged(right, "r"), float(chord), lvl,
+        _expand_mode(expand, broadcast_right),
     )
-    r = _right_cells(right, lvl)
     if salt > 1:
         # replicate the (smaller) right side across salt ids; split the
         # exploded left's hot cells by row-id hash — same shape as the
@@ -171,6 +308,8 @@ def s2_knn_join(
     chord0: float | None = None,
     max_rounds: int = 6,
     broadcast_right: bool | None = None,
+    expand: str | None = None,
+    n_left: int | None = None,
 ) -> DataFrame:
     """Exact k nearest right points per left point by chord distance,
     ties broken by ascending rid — via S2 cell-ring expansion: cover the
@@ -181,22 +320,31 @@ def s2_knn_join(
     ``n_right`` sizes the initial radius (uniform-density estimate
     ``theta0 ~ 2*sqrt(k/n)``); pass it to avoid the planning-time
     ``count()`` (the stats-injection escape hatch, same contract as the
-    planar kNN's planning aggregates)."""
+    planar kNN's planning aggregates).
+
+    ``expand`` picks the cover-explode side per the module docstring;
+    the default explodes the right when ``broadcast_right`` (web scale:
+    10^12 query pages stay in codegen, the directory pays the ~10-25×
+    cover and is still broadcastable), else the left (small query side
+    against a huge shuffled corpus)."""
     if chord0 is None:
         if n_right is None:
             n_right = right.count()
         theta0 = 2.0 * math.sqrt(max(k, 1) / max(n_right, 1))
         chord0 = min(2.0, 1.5 * theta0)
-    spark = left.sparkSession
-    remaining = left.select(
-        F.col("lid"), F.col("nx").alias("lx"), F.col("ny").alias("ly"), F.col("nz").alias("lz")
-    )
+    mode = _expand_mode(expand, broadcast_right)
+    right_t = _tagged(right, "r")
+    remaining = _tagged(left, "l")
     results = []
     chord = float(chord0)
+    # exact remaining-row bookkeeping (cert lids are distinct and a
+    # subset of remaining) replaces per-round isEmpty()/anti-join
+    # actions; ``n_left`` is the stats-injection escape for the one
+    # up-front count
+    n_remaining = n_left
     for rnd in range(max_rounds):
-        lvl = s2.s2_level_for_chord(chord)
-        l = _cover_explode(remaining, None, chord, lvl, [])
-        r = _right_cells(right, lvl)
+        lvl = s2.s2_level_for_chord(chord, 6.0)
+        l, r = _cell_pair(remaining, right_t, chord, lvl, mode)
         rr = F.broadcast(r) if broadcast_right else r
         cand = l.join(rr, on="__cell", how="inner").select(
             "lid", "rid", _chord2("l", "r").alias("chord2")
@@ -211,15 +359,29 @@ def s2_knn_join(
         # drop an exact candidate.
         if chord < 2.0:
             cand = cand.where(F.col("chord2") <= F.lit(chord * chord))
-        # top-k per lid (partitioned window — one shuffle on lid)
-        from pyspark.sql import Window
+        if broadcast_right:
+            # broadcast arm: candidates are lid-contiguous per partition
+            # (no exchange between the stream side and here), so top-k is
+            # a streaming Arrow kernel — the round has NO shuffle at all
+            topk = _topk_stream(cand, k)
+        else:
+            # shuffle arm: top-k per lid (partitioned window — one
+            # shuffle on lid; the cell equi-join already shuffled, so
+            # contiguity does not hold here)
+            from pyspark.sql import Window
 
-        w = Window.partitionBy("lid").orderBy(F.col("chord2").asc(), F.col("rid").asc())
-        topk = cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+            w = Window.partitionBy("lid").orderBy(F.col("chord2").asc(), F.col("rid").asc())
+            topk = cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
         full_sphere = chord >= 2.0
         if full_sphere:
             results.append(topk)
             break
+        # ONE expensive pass per round: materialize the round's top-k
+        # (executor-local blocks, k·|remaining| rows — the same size the
+        # certified output would be) so cert / done / remaining below are
+        # cheap checkpoint scans instead of three recomputations of the
+        # explode→join→window chain (measured 3× the round cost without)
+        topk = topk.localCheckpoint(eager=True)
         # certificate: the k-th candidate lies within the covered radius
         kth = topk.groupBy("lid").agg(
             F.max("rank").alias("__n"), F.max("chord2").alias("__kth2")
@@ -227,20 +389,29 @@ def s2_knn_join(
         cert = kth.where(
             (F.col("__n") >= k) & (F.col("__kth2") <= F.lit(chord * chord))
         ).select("lid")
-        done = topk.join(F.broadcast(cert) if broadcast_right else cert, "lid", "inner")
-        # checkpoint this round's certified output so escalation doesn't
-        # recompute it (localCheckpoint: executor-local, no lineage)
-        results.append(done.localCheckpoint(eager=False))
-        remaining = remaining.join(cert, "lid", "left_anti").localCheckpoint(eager=False)
-        if remaining.isEmpty():
+        if n_remaining is None:
+            n_remaining = remaining.count()
+        n_cert = cert.count()  # cheap scan of the checkpointed top-k
+        if n_cert == n_remaining:
+            # every remaining lid certified → cert == the set of topk
+            # lids, so done would equal topk: skip both the inner join
+            # and the anti-join (the common single-round case)
+            results.append(topk)
+            n_remaining = 0
             break
+        # cert scales with the LEFT row count (one row per certified
+        # lid), so never force-broadcast it — topk is already
+        # lid-partitioned from the window, and AQE broadcast-converts
+        # at runtime when cert turns out small
+        done = topk.join(cert, "lid", "inner")
+        results.append(done)
+        remaining = remaining.join(cert, "lid", "left_anti").localCheckpoint(eager=False)
+        n_remaining -= n_cert
         chord = min(2.0, chord * 3.0)
     else:
         # max_rounds exhausted without reaching the whole sphere: one
         # exact final pass at chord=2 (full cover — always certified)
-        lvl = 0
-        l = _cover_explode(remaining, None, 2.0, lvl, [])
-        r = _right_cells(right, lvl)
+        l, r = _cell_pair(remaining, right_t, 2.0, 0, mode)
         cand = l.join(r, on="__cell", how="inner").select(
             "lid", "rid", _chord2("l", "r").alias("chord2")
         )

@@ -141,6 +141,82 @@ def test_knn_sparse_right_escalates(sphere_dfs):
         assert (g == exp[lid]).all(), lid
 
 
+def test_dwithin_expand_right_matches(sphere_dfs):
+    """broadcast_right=True flips the cover explode to the right side
+    (the web-scale orientation: big left stays in codegen) — the pair
+    set and chord² values must be identical to the left-explode plan."""
+    L, R, lp, rp = sphere_dfs
+    chord = 0.15
+    base = s2_dwithin_join(lp, rp, chord).toPandas().sort_values(["lid", "rid"])
+    flip = s2_dwithin_join(lp, rp, chord, broadcast_right=True).toPandas().sort_values(
+        ["lid", "rid"]
+    )
+    assert len(base) == len(flip)
+    assert (base["lid"].to_numpy() == flip["lid"].to_numpy()).all()
+    assert (base["rid"].to_numpy() == flip["rid"].to_numpy()).all()
+    assert (base["chord2"].to_numpy() == flip["chord2"].to_numpy()).all()
+
+
+def test_knn_expand_right_matches_bruteforce(sphere_dfs):
+    """kNN with the right-side cover explode (broadcast orientation),
+    including escalation rounds (sparse right forces them), stays exact
+    vs numpy brute force with (distance, rid) tie order."""
+    L, R, lp, rp = sphere_dfs
+    k = 5
+    got = s2_knn_join(lp, rp, k, n_right=2000, broadcast_right=True).toPandas()
+    D = np.sqrt(((L[:, None, :] - R[None, :, :]) ** 2).sum(-1))
+    exp = np.argsort(D, axis=1, kind="stable")[:, :k]
+    assert len(got) == 300 * k
+    for lid in range(300):
+        g = got[got["lid"] == lid].sort_values("rank")["rid"].to_numpy()
+        assert (g == exp[lid]).all(), lid
+    # tiny chord0 forces several certify/escalate rounds through the
+    # right-explode arm too
+    got2 = s2_knn_join(lp, rp, 2, chord0=1e-3, broadcast_right=True).toPandas()
+    exp2 = np.argsort(D, axis=1, kind="stable")[:, :2]
+    assert len(got2) == 300 * 2
+    for lid in range(300):
+        g = got2[got2["lid"] == lid].sort_values("rank")["rid"].to_numpy()
+        assert (g == exp2[lid]).all(), lid
+
+
+def test_topk_stream_batch_boundaries(spark):
+    """The no-shuffle top-k kernel must be exact when a lid's candidate
+    run spans Arrow batch boundaries: force 7-row batches over runs of
+    varying length (1..13, some > k, some < k, duplicate chord2 ties)."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for lid in range(40):
+        m = 1 + (lid * 7) % 13
+        c2 = np.round(rng.uniform(0, 1, m), 2)  # coarse → real ties
+        for j in range(m):
+            rows.append((lid, 1000 + j, float(c2[j])))
+    pdf = pd.DataFrame(rows, columns=["lid", "rid", "chord2"])
+    from geotables_jl_spark.operators.geojoin_s2 import _topk_stream
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        # single partition → one python worker sees every boundary
+        cand = spark.createDataFrame(pdf).coalesce(1)
+        got = _topk_stream(cand, 4).toPandas().sort_values(["lid", "rank"])
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    exp = []
+    for lid, grp in pdf.groupby("lid"):
+        g = grp.sort_values(["chord2", "rid"]).head(4)
+        for r, (_, row) in enumerate(g.iterrows(), 1):
+            exp.append((lid, row["rid"], row["chord2"], r))
+    expdf = pd.DataFrame(exp, columns=["lid", "rid", "chord2", "rank"])
+    assert len(got) == len(expdf)
+    for c in ("lid", "rid", "rank"):
+        assert (got[c].to_numpy() == expdf[c].to_numpy()).all(), c
+    assert (got["chord2"].to_numpy() == expdf["chord2"].to_numpy()).all()
+
+
 def test_knn_duplicate_distance_ties(spark):
     """Adversarial: many right points at IDENTICAL distances from the
     query (a ring of duplicated positions) — rank must break ties by
