@@ -105,7 +105,9 @@ def run_s2_knn(spark, input_dir: str, sf_dir: str) -> dict:
 
     pages = spark.read.parquet(input_dir).select(F.col("row_id").alias("lid"), "lat", "lon")
     left = s2_point_prep(pages, "lid", latlon=("lat", "lon"))
-    supp = _supplier_directory(spark, sf_dir).withColumnRenamed("row_id", "rid")
+    # supplier.parquet is one file → without this the directory's
+    # per-round cover explode (the broadcast build) is a SERIAL stage
+    supp = _supplier_directory(spark, sf_dir).withColumnRenamed("row_id", "rid").repartition(64)
     right = s2_point_prep(supp, "rid", latlon=("lat", "lon"))
     n_right = supp.count()
     n_rows = pages.count()
@@ -129,6 +131,16 @@ def main() -> None:
     # warm-up: JVM/codegen paths on a tiny slice
     warm = _pages(spark, input_dir).df.limit(1000).count()
     assert warm > 0
+    # warm the Python worker pool (one per core) so the first measured
+    # Arrow stage doesn't pay worker spawn — a long-running cluster
+    # keeps pools warm (same rationale as bench.py's warm-up)
+    def _noop_batch(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(cpus * 4).repartition(cpus).mapInPandas(
+        _noop_batch, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
     jobs = {
         "geojoin_intersects": (run_geojoin, (spark, input_dir)),
         "geojoin_knn": (run_knn, (spark, input_dir, sf_dir)),
