@@ -990,6 +990,7 @@ def knn_join(
     cell_size: float | None = None,
     metric: str = "planar",
     n_right: int | None = None,
+    broadcast_right: bool | None = None,
 ) -> DataFrame:
     """Pair-level kNN join: one row per (left row, neighbor) with distance
     and rank — the non-aggregated form. For the aggregate-on-match form use
@@ -1006,7 +1007,11 @@ def knn_join(
     coords are dropped), reports ``distance`` as the central angle in
     RADIANS (multiply by the earth radius for meters), and does not
     support ``on=`` conjuncts. ``n_right`` is the sphere path's
-    stats-injection escape hatch (skips one count job)."""
+    stats-injection escape hatch (skips one count job);
+    ``broadcast_right=True`` marks the neighbor side broadcastable,
+    switching the S2 join to its shuffle-free map pipeline (the
+    directory side pays the cap-cover explode — see
+    ``operators/geojoin_s2``)."""
     if gtb2.crs != gtb1.crs:
         from geotables_jl_spark.functions.crs import reproject
 
@@ -1041,7 +1046,7 @@ def knn_join(
             "rid",
             latlon=("lat", "lon"),
         )
-        pairs = s2_knn_join(lp, rp, k, n_right=n_right)
+        pairs = s2_knn_join(lp, rp, k, n_right=n_right, broadcast_right=broadcast_right)
         out = pairs.select(
             F.col("lid").alias("row_id"),
             F.col("rid").alias("neighbor_id"),

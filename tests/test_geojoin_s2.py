@@ -286,6 +286,32 @@ def test_knn_join_sphere_metric_antimeridian(spark):
     assert list(pla["neighbor_id"]) == [2, 1]  # planar gets it wrong
 
 
+def test_knn_join_sphere_broadcast_parity(spark):
+    """knn_join(metric='sphere', broadcast_right=True) — the shuffle-free
+    S2 pipeline — returns exactly the shuffle arm's neighbors, distances,
+    and columns."""
+    import pandas as pd
+
+    from geotables_jl_spark import georef, knn_join
+
+    rng = np.random.default_rng(3)
+    left = spark.createDataFrame(pd.DataFrame({
+        "row_id": range(30),
+        "lat": rng.uniform(-80, 80, 30), "lon": rng.uniform(-179, 179, 30)}))
+    right = spark.createDataFrame(pd.DataFrame({
+        "row_id": range(200),
+        "lat": rng.uniform(-80, 80, 200), "lon": rng.uniform(-179, 179, 200),
+        "name": [f"n{i}" for i in range(200)]}))
+    gl, gr = georef(left, coords=["lat", "lon"]), georef(right, coords=["lat", "lon"])
+    a = knn_join(gl, gr, k=4, metric="sphere", n_right=200).toPandas()
+    b = knn_join(gl, gr, k=4, metric="sphere", n_right=200, broadcast_right=True).toPandas()
+    a = a.sort_values(["row_id", "rank"]).reset_index(drop=True)
+    b = b.sort_values(["row_id", "rank"]).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    assert (a["neighbor_id"] == b["neighbor_id"]).all()
+    assert (a["distance"].to_numpy() == b["distance"].to_numpy()).all()
+
+
 def test_knn_join_sphere_rejects(spark):
     import pandas as pd
     import pytest as _pt
