@@ -410,15 +410,20 @@ def s2_knn_join(
         chord = min(2.0, chord * 3.0)
     else:
         # max_rounds exhausted without reaching the whole sphere: one
-        # exact final pass at chord=2 (full cover — always certified)
+        # exact final pass at chord=2 (full cover — always certified),
+        # same broadcast/top-k arms as the loop rounds
         l, r = _cell_pair(remaining, right_t, 2.0, 0, mode)
-        cand = l.join(r, on="__cell", how="inner").select(
+        rr = F.broadcast(r) if broadcast_right else r
+        cand = l.join(rr, on="__cell", how="inner").select(
             "lid", "rid", _chord2("l", "r").alias("chord2")
         )
-        from pyspark.sql import Window
+        if broadcast_right:
+            results.append(_topk_stream(cand, k))
+        else:
+            from pyspark.sql import Window
 
-        w = Window.partitionBy("lid").orderBy(F.col("chord2").asc(), F.col("rid").asc())
-        results.append(cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k))
+            w = Window.partitionBy("lid").orderBy(F.col("chord2").asc(), F.col("rid").asc())
+            results.append(cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k))
     out = results[0]
     for df in results[1:]:
         out = out.unionByName(df)

@@ -180,6 +180,23 @@ def test_knn_expand_right_matches_bruteforce(sphere_dfs):
         assert (g == exp2[lid]).all(), lid
 
 
+def test_knn_max_rounds_exhausted_fallback(sphere_dfs):
+    """max_rounds=1 with a tiny chord0 certifies nothing in the loop, so
+    every row takes the final full-sphere pass — which must stay exact
+    on both the shuffle and broadcast arms."""
+    L, R, lp, rp = sphere_dfs
+    D = np.sqrt(((L[:, None, :] - R[None, :, :]) ** 2).sum(-1))
+    exp = np.argsort(D, axis=1, kind="stable")[:, :3]
+    for bc in (None, True):
+        got = s2_knn_join(
+            lp, rp, 3, chord0=1e-6, max_rounds=1, n_right=2000, broadcast_right=bc
+        ).toPandas()
+        assert len(got) == 300 * 3, bc
+        for lid in range(300):
+            g = got[got["lid"] == lid].sort_values("rank")["rid"].to_numpy()
+            assert (g == exp[lid]).all(), (bc, lid)
+
+
 def test_topk_stream_batch_boundaries(spark):
     """The no-shuffle top-k kernel must be exact when a lid's candidate
     run spans Arrow batch boundaries: force 7-row batches over runs of

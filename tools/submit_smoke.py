@@ -39,5 +39,28 @@ e2 = (F.lit(-180.0))*(lat+85.0) - (F.lit(170.0))*(lon-180.0)           # edge (1
 e3 = (F.lit(-180.0))*(lat-85.0) - (F.lit(-170.0))*(lon-0.0)            # edge (0,85)->(-180,-85)
 want = docs.filter((e1 >= 0) & (e2 >= 0) & (e3 >= 0)).count()
 assert n_in == want, (n_in, want)
-print(f"SUBMIT_SMOKE_OK in_triangle={n_in}/{docs.count()}")
+
+# S2 spherical kNN => forces the numpy cell-id/cap-cover kernels
+# (geom/s2.py) to import from the zip on executors as well
+import numpy as np
+from geotables_jl_spark.operators.geojoin_s2 import s2_knn_join, s2_point_prep
+
+base = docs.select("row_id", "lat", "lon")
+left = s2_point_prep(
+    base.filter(F.col("row_id") % 37 == 0).select(F.col("row_id").alias("lid"), "lat", "lon"),
+    "lid", latlon=("lat", "lon"))
+right = s2_point_prep(
+    base.select(F.col("row_id").alias("rid"), "lat", "lon"), "rid", latlon=("lat", "lon"))
+knn = s2_knn_join(left, right, k=3, broadcast_right=True).toPandas()
+pdf = base.toPandas()
+la, lo = np.radians(pdf["lat"].to_numpy()), np.radians(pdf["lon"].to_numpy())
+xyz = np.stack([np.cos(la) * np.cos(lo), np.cos(la) * np.sin(lo), np.sin(la)], axis=1)
+q = pdf[pdf.row_id % 37 == 0].iloc[0]
+qv = xyz[pdf.index[pdf.row_id == q.row_id][0]]
+chord2 = ((xyz - qv) ** 2).sum(axis=1)
+brute = set(pdf.row_id.to_numpy()[np.argsort(chord2, kind="stable")[:3]])
+mine = set(knn[knn.lid == q.row_id].rid)
+assert mine == brute, (mine, brute)
+
+print(f"SUBMIT_SMOKE_OK in_triangle={n_in}/{docs.count()} s2_knn_rows={len(knn)}")
 spark.stop()
