@@ -162,7 +162,7 @@ def _cell_side(side: DataFrame, level: int, tag: str, engine: str = "arrow") -> 
     return src.mapInPandas(_iter, schema=schema)
 
 
-def _topk_stream(cand: DataFrame, k: int) -> DataFrame:
+def _topk_stream(cand: DataFrame, k: int, cert2: float | None = None) -> DataFrame:
     """Per-lid top-k by (chord2, rid) WITHOUT a shuffle — the broadcast
     arm's replacement for ``row_number() over (partition by lid)``.
 
@@ -171,38 +171,87 @@ def _topk_stream(cand: DataFrame, k: int) -> DataFrame:
     partition (the stream side carries each lid's single cell row — or
     its cover-explode run, emitted contiguously by the CSR kernel — and
     the broadcast hash join emits each stream row's matches
-    consecutively; no exchange ever sits between). A streaming Arrow
-    kernel with cross-batch carry of the trailing run then computes the
-    exact top-k per lid: batch-local lexsort on (run, chord2, rid) and a
-    vectorized rank-within-run, never a per-row Python loop. At web
-    scale this turns the kNN round into a pure map pipeline — scan →
-    cell id → broadcast join → refine → top-k — with no shuffle at all.
+    consecutively; no exchange ever sits between — LEFT OUTER included).
+    A streaming Arrow kernel with cross-batch carry of the trailing run
+    then computes the exact top-k per lid: batch-local lexsort on
+    (run, chord2, rid) and a vectorized rank-within-run, never a per-row
+    Python loop. At web scale this turns the kNN round into a pure map
+    pipeline — scan → cell id → broadcast join → refine → top-k — with
+    no shuffle at all.
+
+    ``cert2`` switches on IN-KERNEL certification (the kNN ring-expansion
+    bookkeeping, shuffle-free): rows whose chord2 is null/NaN (the
+    left-outer join's no-candidate markers) don't count as candidates; a
+    run is *certified* when it has ≥ k candidates and its k-th candidate
+    lies within the covered radius (chord2 ≤ cert2). Certified runs emit
+    their top-k with ``cert=true``; uncertified runs emit ONE marker row
+    (rid=-1, chord2=NaN, rank=0, cert=false) carrying just the lid, so
+    the caller's escalation set is a tiny broadcastable column instead
+    of a join against the full top-k.
     """
-    schema = "lid long, rid long, chord2 double, rank integer"
+    with_cert = cert2 is not None
+    schema = "lid long, rid long, chord2 double, rank integer" + (
+        ", cert boolean" if with_cert else ""
+    )
 
     def _part(batches):
         hold: list[pd.DataFrame] = []  # trailing (possibly open) run
 
         def _emit(pdf):
             lid = pdf["lid"].to_numpy()
-            c2 = pdf["chord2"].to_numpy()
+            c2 = np.array(pdf["chord2"].to_numpy(), dtype="float64", copy=True)
+            # Arrow hands a nullable long over as float64+NaN; an all-valid
+            # batch stays int64 (no 2^53 precision cliff on the ids)
             rid = pdf["rid"].to_numpy()
             n = len(lid)
             run = np.zeros(n, dtype=np.int64)
             run[1:] = lid[1:] != lid[:-1]
             run = np.cumsum(run)
+            invalid = np.isnan(c2)
+            if invalid.any():
+                c2[invalid] = np.inf  # sort no-candidate markers last
             order = np.lexsort((rid, c2, run))
             run_s = run[order]
             counts = np.bincount(run_s)
-            starts = np.repeat(np.cumsum(counts) - counts, counts)
+            starts_r = np.cumsum(counts) - counts
+            starts = np.repeat(starts_r, counts)
             rank = np.arange(n, dtype=np.int64) - starts
-            keep = order[rank < k]
+            if not with_cert:
+                keep = order[rank < k]
+                return pd.DataFrame(
+                    {
+                        "lid": lid[keep],
+                        "rid": rid[keep].astype(np.int64, copy=False),
+                        "chord2": c2[keep],
+                        "rank": (rank[rank < k] + 1).astype(np.int32),
+                    }
+                )
+            nruns = len(counts)
+            # candidates per run (invalid rows sorted last never rank
+            # below a valid one, so rank-k validity ⇔ ≥k candidates)
+            kth_rows = np.flatnonzero(rank == k - 1)  # one per run with ≥k rows
+            cert_run = np.zeros(nruns, dtype=bool)
+            kth_c2 = c2[order[kth_rows]]
+            cert_run[run_s[kth_rows]] = np.isfinite(kth_c2) & (kth_c2 <= cert2)
+            row_cert = cert_run[run_s]
+            keep_m = (rank < k) & row_cert
+            keep = order[keep_m]
+            unc_first = order[starts_r[~cert_run]]  # one marker row per run
             out = pd.DataFrame(
                 {
-                    "lid": lid[keep],
-                    "rid": rid[keep],
-                    "chord2": c2[keep],
-                    "rank": (rank[rank < k] + 1).astype(np.int32),
+                    "lid": np.concatenate([lid[keep], lid[unc_first]]),
+                    "rid": np.concatenate(
+                        [rid[keep], np.full(len(unc_first), -1, dtype=rid.dtype)]
+                    ).astype(np.int64, copy=False),
+                    "chord2": np.concatenate(
+                        [c2[keep], np.full(len(unc_first), np.nan)]
+                    ),
+                    "rank": np.concatenate(
+                        [rank[keep_m] + 1, np.zeros(len(unc_first), dtype=np.int64)]
+                    ).astype(np.int32),
+                    "cert": np.concatenate(
+                        [np.ones(keep_m.sum(), dtype=bool), np.zeros(len(unc_first), dtype=bool)]
+                    ),
                 }
             )
             return out
@@ -340,11 +389,53 @@ def s2_knn_join(
     # exact remaining-row bookkeeping (cert lids are distinct and a
     # subset of remaining) replaces per-round isEmpty()/anti-join
     # actions; ``n_left`` is the stats-injection escape for the one
-    # up-front count
+    # up-front count (shuffle arm only — the broadcast arm's in-kernel
+    # certification never needs a left count)
     n_remaining = n_left
     for rnd in range(max_rounds):
         lvl = s2.s2_level_for_chord(chord, 6.0)
         l, r = _cell_pair(remaining, right_t, chord, lvl, mode)
+        full_sphere = chord >= 2.0
+        if broadcast_right and not full_sphere:
+            # Broadcast arm: the ENTIRE round — candidates, top-k, AND
+            # the certify/escalate bookkeeping — is shuffle-free. The
+            # chord² refine rides in the join condition of a LEFT OUTER
+            # broadcast join, so a left row with no candidate in the
+            # covered radius surfaces as one null row instead of
+            # vanishing; the streaming top-k kernel certifies each run
+            # in place (k-th candidate within the covered radius) and
+            # collapses uncertified runs to one marker row. The
+            # escalation set is then a tiny lid column — broadcastable —
+            # so ``remaining`` is a broadcast semi-join against the left
+            # scan, never an anti-join shuffled by the full top-k. (The
+            # r3.0 bookkeeping shuffled twice per round: a groupBy-kth
+            # over k·|left| rows and, whenever even one row escalated, a
+            # lid-hash join of the full top-k against the certified set
+            # — at 10M rows those two shuffles were the entire gap
+            # between 0.80 and ~0.9 raw scaling efficiency.)
+            rr = F.broadcast(r)
+            c2 = _chord2("l", "r")
+            cond = (l["__cell"] == rr["__cell"]) & (c2 <= F.lit(chord * chord))
+            cand = l.join(rr, on=cond, how="left").select(
+                "lid", "rid", c2.alias("chord2")
+            )
+            # ONE expensive pass per round: materialize the round's
+            # certified top-k + uncertified markers (executor-local
+            # blocks) so the n_unc count, the escalation lids, and the
+            # final union read a local scan instead of recomputing the
+            # explode→join→top-k chain (measured 3× the round cost
+            # without)
+            topk = _topk_stream(cand, k, cert2=chord * chord).localCheckpoint(eager=True)
+            unc = topk.where(~F.col("cert"))
+            n_unc = unc.count()  # cheap scan of the checkpointed top-k
+            results.append(topk.where(F.col("cert")).drop("cert"))
+            if n_unc == 0:
+                break
+            remaining = remaining.join(
+                F.broadcast(unc.select("lid")), on="lid", how="semi"
+            )
+            chord = min(2.0, chord * 3.0)
+            continue
         rr = F.broadcast(r) if broadcast_right else r
         cand = l.join(rr, on="__cell", how="inner").select(
             "lid", "rid", _chord2("l", "r").alias("chord2")
@@ -360,9 +451,8 @@ def s2_knn_join(
         if chord < 2.0:
             cand = cand.where(F.col("chord2") <= F.lit(chord * chord))
         if broadcast_right:
-            # broadcast arm: candidates are lid-contiguous per partition
-            # (no exchange between the stream side and here), so top-k is
-            # a streaming Arrow kernel — the round has NO shuffle at all
+            # full-sphere broadcast round: plain exact top-k, everything
+            # certifies by construction
             topk = _topk_stream(cand, k)
         else:
             # shuffle arm: top-k per lid (partitioned window — one
@@ -372,7 +462,6 @@ def s2_knn_join(
 
             w = Window.partitionBy("lid").orderBy(F.col("chord2").asc(), F.col("rid").asc())
             topk = cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
-        full_sphere = chord >= 2.0
         if full_sphere:
             results.append(topk)
             break

@@ -234,6 +234,51 @@ def test_topk_stream_batch_boundaries(spark):
     assert (got["chord2"].to_numpy() == expdf["chord2"].to_numpy()).all()
 
 
+def test_topk_stream_cert_batch_boundaries(spark):
+    """The in-kernel certification path (cert2=) across 7-row Arrow
+    batch boundaries: certified runs emit top-k with cert=true; runs
+    with < k candidates, k-th beyond the bound, or a single null-rid
+    marker (the left-outer no-candidate row) collapse to one rank-0
+    marker with cert=false."""
+    rng = np.random.default_rng(13)
+    rows = []
+    for lid in range(40):
+        m = (lid * 7) % 13  # 0 → no-candidate marker run
+        if m == 0:
+            rows.append((lid, None, None))
+            continue
+        c2 = np.round(rng.uniform(0, 1, m), 2)
+        for j in range(m):
+            rows.append((lid, 1000 + j, float(c2[j])))
+    pdf = pd.DataFrame(rows, columns=["lid", "rid", "chord2"])
+    from geotables_jl_spark.operators.geojoin_s2 import _topk_stream
+
+    k, cert2 = 4, 0.5
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        cand = spark.createDataFrame(
+            pdf.astype({"rid": "Int64"}), schema="lid long, rid long, chord2 double"
+        ).coalesce(1)
+        got = _topk_stream(cand, k, cert2=cert2).toPandas().sort_values(["lid", "rank"])
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    for lid, grp in pdf.groupby("lid"):
+        g = got[got["lid"] == lid]
+        valid = grp.dropna(subset=["rid"]).sort_values(["chord2", "rid"])
+        certified = len(valid) >= k and valid["chord2"].iloc[k - 1] <= cert2
+        if certified:
+            top = valid.head(k)
+            assert g["cert"].all() and len(g) == k, lid
+            assert (g.sort_values("rank")["rid"].to_numpy() == top["rid"].to_numpy()).all(), lid
+        else:
+            assert len(g) == 1 and not g["cert"].iloc[0], lid
+            assert g["rank"].iloc[0] == 0 and g["rid"].iloc[0] == -1, lid
+
+
 def test_knn_duplicate_distance_ties(spark):
     """Adversarial: many right points at IDENTICAL distances from the
     query (a ring of duplicated positions) — rank must break ties by
