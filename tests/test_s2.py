@@ -142,3 +142,31 @@ def test_level_bounds():
         s2.s2_cell_from_xyz_np([1.0], [0.0], [0.0], 31)
     with pytest.raises(ValueError):
         s2.s2_cell_sql("t", "x", "y", "z", -1)
+
+
+def test_cap_cover_rigorous_with_disk_filter():
+    """The cover contract the joins rest on: for any q with
+    chord(p, q) <= eps, q's single level-L cell is in p's cap cover —
+    must survive the disk filter (which may only drop cells provably
+    disjoint from the cap) at every radius/level regime."""
+    rng = np.random.default_rng(7)
+    n = 5000
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    for chord in (0.003, 0.03, 0.2, 0.9):
+        lvl = s2.s2_level_for_chord(chord, 6.0)
+        d = rng.normal(size=(n, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        q = v + d * rng.uniform(0, chord, n)[:, None]
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        ok = np.linalg.norm(q - v, axis=1) <= chord  # renorm can push out
+        vv, qq = v[ok], q[ok]
+        rows, cells = s2.s2_cap_cells_np(vv[:, 0], vv[:, 1], vv[:, 2], chord, lvl)
+        qcell = s2.s2_cell_from_xyz_np(qq[:, 0], qq[:, 1], qq[:, 2], lvl)
+        from collections import defaultdict
+
+        cov = defaultdict(set)
+        for r, c in zip(rows, cells):
+            cov[r].add(c)
+        bad = [i for i in range(len(qq)) if qcell[i] not in cov[i]]
+        assert not bad, (chord, lvl, bad[:5])
