@@ -216,7 +216,8 @@ def main() -> None:
         "workload class; on a real 1000-executor cluster each executor owns\n"
         "its cores AND its memory bus, so the raw column is the pessimistic\n"
         "bound and the normalized column the expected one.\n\n"
-        f"Input: documents ×{amp} → {summary['jobs'].get('geojoin_intersects', {}).get('rows', 0):,}\n"
+        f"Input: documents ×{amp} → "
+        f"{max((j.get('rows', 0) for j in summary['jobs'].values()), default=0):,}\n"
         "geotagged pages (parquet, 96 splits), identical bytes at both levels.\n\n"
         f"| job | rows | local[{lo}] | local[{hi}] | speedup | eff (raw) | eff (vs hw ceiling, target ≥0.8) |\n"
         "|---|---|---|---|---|---|---|\n" + "\n".join(rows) + "\n\n"
