@@ -858,10 +858,11 @@ def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     parent bit math (``s2_parent_col`` — proven equal to direct level-4
     assignment), and roll up doc count + char mass per cell. At 10^12
     rows the level-k cell is the Iceberg partition / bucketing key; this
-    plan is scan → map → one map-side-combinable groupBy."""
-    from geotables_jl_spark.geom.s2 import s2_parent_col, with_s2_cell
+    plan is scan → one Arrow map (vectorized numpy LUT fold, bit-equal to
+    the codegen twin) → one map-side-combinable groupBy."""
+    from geotables_jl_spark.geom.s2 import s2_parent_col, with_s2_cell_arrow
 
-    d = with_s2_cell(_docs_xyz(spark, sf_dir), 12, out="s2_12", xyz=("px", "py", "pz"))
+    d = with_s2_cell_arrow(_docs_xyz(spark, sf_dir), 12, out="s2_12", xyz=("px", "py", "pz"))
     d = d.where(F.col("s2_12").isNotNull())
     return (
         d.groupBy(s2_parent_col(F.col("s2_12"), 4).alias("s2_cell"))
@@ -935,11 +936,13 @@ def q_s2_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (duplicate-line fraction,
-    most-common word/2-gram char mass) — exact integers, whole-row column
-    math, map-only at any scale (functions/textstats.py)."""
+    most-common word/2-gram char mass) — exact integers, one Arrow map
+    stage (factorize/bincount numpy kernel), map-only at any scale. The
+    whole-row column-math twin (``repetition_stats_cols``) is what the
+    SQL oracle replays; parity is property-tested in
+    tests/test_repetition.py (the HOF fold runs ~20× slower per row)."""
     d = _docs(spark, sf_dir)
-    cols = TS.repetition_stats_cols(F.col("text"))
-    return d.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+    return TS.repetition_stats_arrow(d.select("doc_id", "text"))
 
 
 # ---------------------------------------------------------------------------

@@ -470,6 +470,44 @@ def with_s2_cell(
     return df.drop(*[c for c in df.columns if c.startswith(pre)])
 
 
+def with_s2_cell_arrow(
+    df: DataFrame,
+    level: int,
+    out: str = "s2_cell",
+    xyz: tuple[str, str, str] = ("x", "y", "z"),
+) -> DataFrame:
+    """Arrow-kernel twin of :func:`with_s2_cell`: one mapInPandas stage
+    running the vectorized numpy LUT fold (``s2_cell_from_xyz_np``),
+    bit-identical to the codegen column on any IEEE-754 platform
+    (property-tested in tests/test_s2.py) at ~6× its per-row throughput —
+    the codegen twin's ``aggregate()`` Hilbert fold is JVM-interpreted
+    per row and its large expression tree costs seconds of variable
+    plan/JIT overhead per query. Zero-vector rows get NULL, matching the
+    column version. All input columns pass through."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
+    import pandas as pd
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, {out} long"
+    xc, yc, zc = xyz
+
+    def _iter(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x, y, z = (pdf[c].to_numpy(dtype="float64") for c in (xc, yc, zc))
+            ok = (x != 0) | (y != 0) | (z != 0)
+            cell = pd.array(s2_cell_from_xyz_np(x, y, z, level), dtype="Int64")
+            if not ok.all():
+                cell[~ok] = None
+            pdf = pdf.copy()
+            pdf[out] = cell
+            yield pdf
+
+    return df.mapInPandas(_iter, schema=schema)
+
+
 def s2_parent_col(cell: Column, level: int) -> Column:
     """Snap a cell id to a coarser level — pure bit math (codegen)."""
     lsb = 1 << (2 * (MAX_LEVEL - level))
