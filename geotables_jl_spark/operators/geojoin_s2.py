@@ -349,6 +349,78 @@ def s2_dwithin_join(
     return out
 
 
+def _knn_kernel_arm(left: DataFrame, right: DataFrame, k: int, chord0: float) -> DataFrame:
+    """ONE-map-stage spherical kNN for a broadcast-able directory: the
+    directory rides to workers as plain numpy (``SphereIndex``, ~32
+    B/point) and ``score_batch_sphere`` runs the whole cell-ring
+    expansion — covered pass, in-kernel certification, 3× chord
+    escalation, brute-force tail — inside the Arrow kernel. The left
+    stream ships only (lid, x, y, z); output fans out to pair rows via
+    codegen posexplode. Zero shuffles, zero driver rounds, zero per-round
+    broadcast builds — the job is a single narrow map over the page scan
+    (the DataFrame rounds arm measured 8 candidate-rows of Arrow traffic
+    per directory hit; this ships 32 B/page)."""
+    from pyspark.sql import types as T
+
+    from geotables_jl_spark.geom.s2_knn_kernel import SphereIndex, score_batch_sphere
+
+    right_t = _tagged(right, "r")
+    pdf = right_t.toPandas()
+    idx = SphereIndex(
+        pdf["rid"].to_numpy(np.int64),
+        pdf["rx"].to_numpy(np.float64),
+        pdf["ry"].to_numpy(np.float64),
+        pdf["rz"].to_numpy(np.float64),
+    )
+    bc = left.sparkSession.sparkContext.broadcast(idx)
+    level0 = s2.s2_level_for_chord(chord0, 6.0)
+
+    schema = T.StructType(
+        [
+            T.StructField("lid", T.LongType()),
+            T.StructField("__rids", T.ArrayType(T.LongType())),
+            T.StructField("__chord2s", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _iter(batches):
+        import pyarrow as pa
+
+        index = bc.value
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            name_i = {nm: i for i, nm in enumerate(rb.schema.names)}
+
+            def col(nm, dt):
+                return rb.column(name_i[nm]).to_numpy(zero_copy_only=False).astype(dt, copy=False)
+
+            lid = col("lid", np.int64)
+            _, off, ridv, d2v = score_batch_sphere(
+                lid, col("lx", np.float64), col("ly", np.float64), col("lz", np.float64),
+                index, chord0, level0, k,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(lid, pa.int64()),
+                    pa.ListArray.from_arrays(pa.array(off, pa.int64()).cast(pa.int32()), pa.array(ridv, pa.int64())),
+                    pa.ListArray.from_arrays(pa.array(off, pa.int64()).cast(pa.int32()), pa.array(d2v, pa.float64())),
+                ],
+                names=["lid", "__rids", "__chord2s"],
+            )
+
+    left_t = _tagged(left, "l").where(F.col("lx").isNotNull())  # zero-vector parity
+    rnd = left_t.select("lid", "lx", "ly", "lz").mapInArrow(_iter, schema)
+    return rnd.select(
+        "lid", F.posexplode(F.arrays_zip("__rids", "__chord2s")).alias("__pos", "__z")
+    ).select(
+        "lid",
+        F.col("__z")["__rids"].alias("rid"),
+        F.col("__z")["__chord2s"].alias("chord2"),
+        (F.col("__pos") + 1).cast("integer").alias("rank"),
+    )
+
+
 def s2_knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -359,6 +431,7 @@ def s2_knn_join(
     broadcast_right: bool | None = None,
     expand: str | None = None,
     n_left: int | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """Exact k nearest right points per left point by chord distance,
     ties broken by ascending rid — via S2 cell-ring expansion: cover the
@@ -381,6 +454,22 @@ def s2_knn_join(
             n_right = right.count()
         theta0 = 2.0 * math.sqrt(max(k, 1) / max(n_right, 1))
         chord0 = min(2.0, 1.5 * theta0)
+    if engine not in ("auto", "kernel", "rounds"):
+        raise ValueError(f"engine must be auto|kernel|rounds, got {engine!r}")
+    if engine != "rounds" and broadcast_right:
+        from pyspark.sql import types as T
+
+        id_ok = isinstance(
+            left.schema["lid"].dataType, (T.LongType, T.IntegerType)
+        ) and isinstance(right.schema["rid"].dataType, (T.LongType, T.IntegerType))
+        if id_ok:
+            # in-kernel arm: same cell-ring expansion, resident directory,
+            # one map stage (geom/s2_knn_kernel.py) — bit-identical to the
+            # rounds arm (chord² refine, (chord2, rid) ties), tested in
+            # tests/test_s2_kernel.py
+            return _knn_kernel_arm(left, right, k, float(chord0))
+        if engine == "kernel":
+            raise ValueError("engine='kernel' needs integral lid/rid columns")
     mode = _expand_mode(expand, broadcast_right)
     right_t = _tagged(right, "r")
     remaining = _tagged(left, "l")
