@@ -30,15 +30,17 @@ correspondingly coarser level) next round. ``chord >= 2`` covers the
 whole sphere, so the loop degrades gracefully to brute force and is
 exact at any k without a special arm.
 
-Scale shape: with a broadcastable directory (``broadcast_right``) the
-whole kNN round is a SHUFFLE-FREE map pipeline — scan → cell id (Arrow
-numpy LUT) → broadcast hash join (codegen) → chord² refine (codegen) →
-streaming per-lid top-k (Arrow, exploits the join's lid-contiguity) —
-so round throughput scales with cores by construction. In the shuffle
-arm (directory too big to broadcast) each round shuffles the cell
-equi-join once plus one lid window; either way rounds after the first
-touch only uncertified rows (empty-region points), a vanishing
-fraction under any realistic density.
+Scale shape: with a broadcastable directory (``broadcast_right``) kNN
+runs as ONE map stage — the directory rides to workers as plain numpy
+and ``geom/s2_knn_kernel.score_batch_sphere`` executes the entire
+cell-ring expansion (cover probe, in-kernel certification, 3× chord
+escalation, brute-force tail) per Arrow batch; zero shuffles, zero
+driver rounds (the per-round DataFrame pipeline remains as
+``engine='rounds'``). In the shuffle arm (directory too big to
+broadcast) each round shuffles the cell equi-join once plus one lid
+window; rounds after the first touch only uncertified rows
+(empty-region points), a vanishing fraction under any realistic
+density.
 """
 
 from __future__ import annotations
