@@ -842,6 +842,22 @@ _SQL_SPHERE_CTES = f"""
                          pz / sqrt(px*px + py*py + pz*pz) AS nz
                   FROM r0 WHERE sqrt(px*px + py*py + pz*pz) > 0)"""
 
+#: flipped orientation for the s2_knn gate (pages query the broadcast
+#: supplier directory — the kernel arm's production shape)
+_SQL_SPHERE_CTES_FLIP = f"""
+            l0 AS (SELECT doc_id AS lid, px, py, pz FROM {_SQL_DOCS_XYZ} d),
+            l AS (SELECT lid,
+                         px / sqrt(px*px + py*py + pz*pz) AS nx,
+                         py / sqrt(px*px + py*py + pz*pz) AS ny,
+                         pz / sqrt(px*px + py*py + pz*pz) AS nz
+                  FROM l0 WHERE sqrt(px*px + py*py + pz*pz) > 0),
+            r0 AS (SELECT doc_id AS rid, px, py, pz FROM {_SQL_SUPP_XYZ} s),
+            r AS (SELECT rid,
+                         px / sqrt(px*px + py*py + pz*pz) AS nx,
+                         py / sqrt(px*px + py*py + pz*pz) AS ny,
+                         pz / sqrt(px*px + py*py + pz*pz) AS nz
+                  FROM r0 WHERE sqrt(px*px + py*py + pz*pz) > 0)"""
+
 
 def _s2_sql(source: str, level: int, keep: list[str]) -> str:
     """Generated DuckDB twin of ``with_s2_cell`` (geom/s2.py) — bit-exact
@@ -873,7 +889,7 @@ def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 _S2_CHORD = 0.2  # dwithin radius (euclidean chord between unit vectors)
 
 
-def _supp_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _supp_sphere(spark: SparkSession, sf_dir: str, id_name: str = "lid") -> DataFrame:
     """Suppliers as unit-sphere query points — deliberately the SAME
     integer xyz recipe as ``_docs_xyz`` keyed by s_suppkey, so a doc and
     a supplier sharing an id sit at the IDENTICAL position: the gate
@@ -882,22 +898,22 @@ def _supp_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotables_jl_spark.operators.geojoin_s2 import s2_point_prep
 
     supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
-        F.col("s_suppkey").alias("lid")
+        F.col("s_suppkey").alias(id_name)
     )
-    k = F.col("lid")
+    k = F.col(id_name)
     supp = (
         supp.withColumn("px", ((k * 104729) % 2001) / 1000.0 - 1.0)
         .withColumn("py", ((k * 7919) % 2001) / 1000.0 - 1.0)
         .withColumn("pz", ((k * 31337) % 2001) / 1000.0 - 1.0)
     )
-    return s2_point_prep(supp, "lid", xyz=("px", "py", "pz"))
+    return s2_point_prep(supp, id_name, xyz=("px", "py", "pz"))
 
 
-def _docs_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_sphere(spark: SparkSession, sf_dir: str, id_name: str = "rid") -> DataFrame:
     from geotables_jl_spark.operators.geojoin_s2 import s2_point_prep
 
-    pages = _docs_xyz(spark, sf_dir).select(F.col("doc_id").alias("rid"), "px", "py", "pz")
-    return s2_point_prep(pages, "rid", xyz=("px", "py", "pz"))
+    pages = _docs_xyz(spark, sf_dir).select(F.col("doc_id").alias(id_name), "px", "py", "pz")
+    return s2_point_prep(pages, id_name, xyz=("px", "py", "pz"))
 
 
 def q_s2_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -919,15 +935,24 @@ def q_s2_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_s2_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 kNN join via cell-ring expansion (the north rule's "kNN via
     cell-ring expansion over the cell index with distance refinement",
-    sphere-correct): k=5 nearest pages per supplier, certify-or-escalate
-    rounds, tie order (chord2, rid). Full window-function SQL oracle.
-    ``n_right`` comes from the parquet footer count (metadata-only job)
-    — the stats-injection escape hatch, not a table scan."""
+    sphere-correct) in the PRODUCTION orientation — k=5 nearest
+    directory entries (suppliers) per page, broadcast directory — so the
+    gate replays the one-map-stage kernel arm (geom/s2_knn_kernel.py)
+    bit-for-bit against a window-function SQL oracle: in-kernel
+    certify-or-escalate, tie order (chord2, rid). The shuffle arm (huge
+    right side) keeps brute-force pytest coverage in
+    tests/test_geojoin_s2.py. ``n_right`` comes from the parquet footer
+    count (metadata-only job) — the stats-injection escape hatch, not a
+    table scan."""
     from geotables_jl_spark.operators.geojoin_s2 import s2_knn_join
 
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").count()
     out = s2_knn_join(
-        _supp_sphere(spark, sf_dir), _docs_sphere(spark, sf_dir), 5, n_right=n_docs
+        _docs_sphere(spark, sf_dir, "lid"),
+        _supp_sphere(spark, sf_dir, "rid"),
+        5,
+        n_right=n_supp,
+        broadcast_right=True,
     )
     return out.select(
         "lid", "rid", "chord2", F.col("rank").cast("long").alias("rank")
@@ -1330,7 +1355,7 @@ def oracle_sql() -> dict[str, str]:
                     + (l.nz-r.nz)*(l.nz-r.nz) <= {_S2_CHORD * _S2_CHORD!r}
         """,
         "s2_knn": f"""
-            WITH {_SQL_SPHERE_CTES},
+            WITH {_SQL_SPHERE_CTES_FLIP},
             d AS (
               SELECT l.lid, r.rid,
                      (l.nx-r.nx)*(l.nx-r.nx) + (l.ny-r.ny)*(l.ny-r.ny)
