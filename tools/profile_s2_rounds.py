@@ -1,7 +1,8 @@
-"""Phase-level profile of s2_knn_join's serial-vs-parallel split at one
-parallelism level — quantifies the non-scaling overhead (per-round
-broadcast build of the directory cover, planning, checkpoint barriers)
-against the scalable kernel work.
+"""Phase-level profile of s2_knn_join's DataFrame ROUNDS arm
+(engine="rounds" — the default broadcast path now runs the one-map-stage
+kernel, geom/s2_knn_kernel.py) at one parallelism level — quantifies the
+non-scaling overhead (per-round broadcast build of the directory cover,
+planning, checkpoint barriers) against the scalable kernel work.
 
     python tools/profile_s2_rounds.py <cpus> <input_dir> [sf_dir]
 
@@ -64,18 +65,18 @@ def main() -> None:
     for i in range(2):
         tick(f"bc_build_{i}", lambda: s2_knn_join(
             one, right, k=k, n_right=n_right, n_left=1,
-            broadcast_right=True, chord0=chord0,
+            broadcast_right=True, chord0=chord0, engine="rounds",
         ).write.format("noop").mode("overwrite").save())
 
     for i in range(2):
         tick(f"knn_full_{i}", lambda: s2_knn_join(
-            left, right, k=k, n_right=n_right, n_left=n_rows, broadcast_right=True
+            left, right, k=k, n_right=n_right, n_left=n_rows, broadcast_right=True, engine="rounds"
         ).write.format("noop").mode("overwrite").save())
 
     for i in range(2):
         tick(f"knn_1round_{i}", lambda: s2_knn_join(
             left, right, k=k, n_right=n_right, n_left=n_rows,
-            broadcast_right=True, chord0=min(2.0, 4.0 * chord0),
+            broadcast_right=True, chord0=min(2.0, 4.0 * chord0), engine="rounds",
         ).write.format("noop").mode("overwrite").save())
 
 
