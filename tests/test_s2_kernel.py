@@ -121,3 +121,49 @@ def test_kernel_arm_matches_rounds_arm(spark):
     b = sorted(map(tuple, rnds.select("lid", "rid", "chord2", "rank").collect()))
     assert a == b
     assert len(a) == 5 * lprep.where(F.col("nx").isNotNull()).count()
+
+
+# -- hypothesis sweep: kernel vs brute force over random configurations ------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def sphere_config(draw):
+    """Random (directory, queries, k, chord0): clustered or uniform
+    directory, rids shuffled, chord0 spanning far-too-small (everything
+    escalates) to full-sphere."""
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    n2 = draw(st.integers(min_value=1, max_value=120))
+    nq = draw(st.integers(min_value=1, max_value=40))
+    k = draw(st.integers(min_value=1, max_value=12))
+    chord0 = draw(st.sampled_from([1e-4, 0.05, 0.3, 1.0, 2.0]))
+    clustered = draw(st.booleans())
+    rng = np.random.default_rng(seed)
+    if clustered:
+        c = rng.normal(size=3)
+        c /= np.linalg.norm(c)
+        pts = c[None, :] + 0.02 * rng.normal(size=(n2, 3))
+    else:
+        pts = rng.normal(size=(n2, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    q = rng.normal(size=(nq, 3))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    # duplicate some directory points onto query positions → exact ties
+    dup = min(n2, nq) // 2
+    if dup:
+        pts[:dup] = q[:dup]
+    rid = rng.permutation(n2).astype(np.int64) * 7 + 3
+    return pts, q, rid, k, chord0
+
+
+@settings(max_examples=60, deadline=None)
+@given(sphere_config())
+def test_kernel_property_sweep(cfg):
+    pts, q, rid, k, chord0 = cfg
+    _check_kernel(
+        q[:, 0].copy(), q[:, 1].copy(), q[:, 2].copy(),
+        rid, pts[:, 0].copy(), pts[:, 1].copy(), pts[:, 2].copy(),
+        k=k, chord0=chord0,
+    )
