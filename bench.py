@@ -35,6 +35,7 @@ def main() -> None:
     only = set(subset.split(",")) if subset else None
 
     sf = _sf_from_dir(sf_dir)
+    host_pre = _host_parallel_ratio()
     spark = get_spark("bench", cpus=cpus)
 
     # warm-up: JVM + codegen + parquet footer caches, plus the Python
@@ -69,6 +70,8 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.3f}s", file=sys.stderr)
 
+    host_post = _host_parallel_ratio()
+
     # flagship throughput: geotagged pages joined into tiles, rows/sec
     n_pages = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     flagship = times.get("webpages_tiles")
@@ -80,8 +83,36 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "flagship_rows_per_sec": round(n_pages / flagship, 1) if flagship else None,
+        # host-state evidence: this sandbox VM's parallel throughput
+        # drifts by hours (BENCH.md "Reproducibility") — e.g. a window
+        # where 4→16 independent processes scale 2.3× (vs 3.9× when
+        # quiet) ran the SAME simhash plan 13-31 s that a quiet window
+        # runs in 2.1 s. The probe (zero shared state, pure hashlib)
+        # timestamps the suite's window so a slow BENCH round is
+        # attributable: ~4.0 = quiet host, ≲2.5 = throttled host.
+        "host_par_ratio_4to16_pre": host_pre,
+        "host_par_ratio_4to16_post": host_post,
     }
     print(json.dumps(out))
+
+
+def _host_parallel_ratio() -> float:
+    """4→16 independent-process throughput ratio (ideal 4.0) — the same
+    probe family as tools/scaling_bench.calibrate, sized to ~5 s."""
+    import subprocess
+
+    code = "import hashlib\nfor i in range(600000): hashlib.sha256(str(i).encode()).digest()"
+
+    def run(n: int) -> float:
+        t0 = time.perf_counter()
+        ps = [subprocess.Popen([sys.executable, "-c", code]) for _ in range(n)]
+        for p in ps:
+            p.wait()
+        return time.perf_counter() - t0
+
+    t4 = min(run(4), run(4))
+    t16 = min(run(16), run(16))
+    return round((16.0 / t16) / (4.0 / t4), 2)
 
 
 def _sf_from_dir(sf_dir: str) -> float:
