@@ -458,6 +458,8 @@ def s2_knn_join(
         chord0 = min(2.0, 1.5 * theta0)
     if engine not in ("auto", "kernel", "rounds"):
         raise ValueError(f"engine must be auto|kernel|rounds, got {engine!r}")
+    if engine == "kernel" and not broadcast_right:
+        raise ValueError("engine='kernel' requires broadcast_right=True (resident directory)")
     if engine != "rounds" and broadcast_right:
         from pyspark.sql import types as T
 

@@ -125,7 +125,7 @@ def test_kernel_arm_matches_rounds_arm(spark):
 
 # -- hypothesis sweep: kernel vs brute force over random configurations ------
 
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 
@@ -158,7 +158,11 @@ def sphere_config(draw):
     return pts, q, rid, k, chord0
 
 
-@settings(max_examples=60, deadline=None)
+# too_slow suppressed: this sandbox VM's wall clock drifts by hours
+# (BENCH.md "Reproducibility") and hypothesis's generation health check
+# fires spuriously in throttled windows — the sweep itself is
+# deterministic numpy.
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(sphere_config())
 def test_kernel_property_sweep(cfg):
     pts, q, rid, k, chord0 = cfg
@@ -167,3 +171,11 @@ def test_kernel_property_sweep(cfg):
         rid, pts[:, 0].copy(), pts[:, 1].copy(), pts[:, 2].copy(),
         k=k, chord0=chord0,
     )
+
+
+def test_kernel_engine_requires_broadcast(spark):
+    left = spark.range(3).select(F.col("id").alias("lid"),
+                                 F.lit(1.0).alias("px"), F.lit(0.0).alias("py"), F.lit(0.0).alias("pz"))
+    lp = s2_point_prep(left, "lid", xyz=("px", "py", "pz"))
+    with pytest.raises(ValueError, match="broadcast_right"):
+        s2_knn_join(lp, lp.withColumnRenamed("lid", "rid"), 1, n_right=3, engine="kernel")
