@@ -75,3 +75,17 @@ def test_filter_pushdown_reaches_scan(spark):
     pages = spark.read.parquet(f"{SF}/customer.parquet").filter(F.col("c_acctbal") > 0.0)
     plan = _formatted(pages)
     assert re.search(r"PushedFilters: \[.*GreaterThan\(c_acctbal", plan), plan[:1500]
+
+
+def test_s2_knn_kernel_arm_is_one_map_stage(spark):
+    """The broadcast-directory S2 kNN must stay a single narrow map over
+    the page scan: its only Exchange is the documented single-file
+    fixture repartition (REPARTITION_BY_NUM below the kernel), never a
+    hash shuffle, window, or sort-merge join above it."""
+    df = E.queries()["s2_knn"](spark, SF)
+    plan = _plan(df)
+    assert "MapInArrow" in plan, plan[:1500]
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert all("REPARTITION_BY_NUM" in ln for ln in exchanges), exchanges
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
