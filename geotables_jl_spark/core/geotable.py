@@ -78,6 +78,16 @@ class GeoTable:
     # transform — Spark has no categorical dtype, so level sets/order
     # are table metadata that rides through _with)
     levels: dict[str, list] = field(default_factory=dict)
+    # static geometry-kind hint: "point" when CONSTRUCTION guarantees
+    # every row is a point (georef from coords), "box" for grid cells,
+    # None = unknown/mixed. Consumed by centroid-based partition/sort ops
+    # (operators/indices._centroid_xy): the general centroid expression
+    # carries higher-order array folds that knock the whole projection
+    # stage out of whole-stage codegen — a 3× slowdown on point
+    # workloads, the dominant web-scale shape. A WRONG hint is a
+    # correctness bug, so every geometry-REPLACING op must clear or
+    # re-derive it; _with (geometry untouched) propagates it.
+    kind_hint: str | None = None
 
     # -- shape / names (reference src/api/dataframes.jl:5-42) --------------
     @property
@@ -108,7 +118,7 @@ class GeoTable:
             raise ValueError("vtable must carry (row_id, vertex_id) keys")
         return GeoTable(df=self.df, crs=self.crs, lenunit=self.lenunit,
                         grid=self.grid, units=dict(self.units), vtable=vtable,
-                        levels=dict(self.levels))
+                        levels=dict(self.levels), kind_hint=self.kind_hint)
 
     def nrow(self) -> int:
         return self.df.count()
@@ -173,12 +183,12 @@ class GeoTable:
         # vtable rides along; values(0) re-subsets it to the new row set
         return GeoTable(df=df, crs=self.crs, lenunit=self.lenunit, grid=self.grid,
                         units=dict(self.units), vtable=self.vtable,
-                        levels=dict(self.levels))
+                        levels=dict(self.levels), kind_hint=self.kind_hint)
 
     def with_grid(self, grid: GridMeta | None) -> "GeoTable":
         return GeoTable(df=self.df, crs=self.crs, lenunit=self.lenunit, grid=grid,
                         units=dict(self.units), vtable=self.vtable,
-                        levels=dict(self.levels))
+                        levels=dict(self.levels), kind_hint=self.kind_hint)
 
 
 def _add_row_id(df: DataFrame, order_by: str | None = None) -> DataFrame:
@@ -263,7 +273,7 @@ def georef(
             # reference: "the length unit of a LatLon CRS cannot be
             # changed" (test/georef.jl:157-158) — degrees aren't lengths
             raise ValueError("georef: lenunit cannot be set for a LatLon CRS")
-        return GeoTable(df=_add_row_id(out, row_id_order), crs=guessed, lenunit=lenunit)
+        return GeoTable(df=_add_row_id(out, row_id_order), crs=guessed, lenunit=lenunit, kind_hint="point")
 
     if GEOM not in df.columns:
         raise ValueError("georef: need coords=, geoms=, or an existing geometry column")
@@ -322,6 +332,7 @@ def georef_grid(
     return GeoTable(
         df=df.select(*order),
         crs=_canon_crs(crs),
+        kind_hint="box",
         grid=GridMeta(nx=nx, ny=ny, ox=ox, oy=oy, sx=sx, sy=sy),
     )
 
@@ -368,4 +379,4 @@ def grid_subset(gtb: GeoTable, i0: int, i1: int, j0: int, j1: int) -> GeoTable:
         sx=g.sx,
         sy=g.sy,
     )
-    return GeoTable(df=df, crs=gtb.crs, lenunit=gtb.lenunit, grid=sub, units=dict(gtb.units))
+    return GeoTable(df=df, crs=gtb.crs, lenunit=gtb.lenunit, grid=sub, units=dict(gtb.units), kind_hint=gtb.kind_hint)

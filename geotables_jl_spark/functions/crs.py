@@ -461,7 +461,9 @@ def _reproject_pyproj(gtb: GeoTable, src: CRSDef, dst: CRSDef) -> GeoTable:
         return tr.transform  # vectorized over numpy arrays
 
     out = transform_geometry_vertexwise(gtb.df, make_txy)
-    return GeoTable(df=out, crs=dst.name, lenunit=gtb.lenunit, grid=gtb.grid, units=dict(gtb.units))
+    # points stay points under any reprojection; other hints don't survive
+    kh = gtb.kind_hint if gtb.kind_hint == "point" else None
+    return GeoTable(df=out, crs=dst.name, lenunit=gtb.lenunit, grid=gtb.grid, units=dict(gtb.units), kind_hint=kh)
 
 
 def reproject(gtb: GeoTable, target_crs: str) -> GeoTable:
@@ -475,7 +477,7 @@ def reproject(gtb: GeoTable, target_crs: str) -> GeoTable:
     if src.name == dst.name:
         if gtb.crs == dst.name:
             return gtb
-        return GeoTable(df=gtb.df, crs=dst.name, lenunit=gtb.lenunit, grid=gtb.grid, units=dict(gtb.units))
+        return GeoTable(df=gtb.df, crs=dst.name, lenunit=gtb.lenunit, grid=gtb.grid, units=dict(gtb.units), kind_hint=gtb.kind_hint)
     if src.to_ll is None or dst.from_ll is None:
         return _reproject_pyproj(gtb, src, dst)
     fn = _point_xy_transform(src, dst)
@@ -509,4 +511,5 @@ def reproject(gtb: GeoTable, target_crs: str) -> GeoTable:
         F.array_max(ys).alias("ymax"),
     )
     out = gtb.df.withColumn(GEOM, F.when(is_point, new_point).otherwise(new_poly))
-    return GeoTable(df=out, crs=dst.name, lenunit=gtb.lenunit, grid=gtb.grid, units=dict(gtb.units))
+    kh = gtb.kind_hint if gtb.kind_hint == "point" else None
+    return GeoTable(df=out, crs=dst.name, lenunit=gtb.lenunit, grid=gtb.grid, units=dict(gtb.units), kind_hint=kh)

@@ -44,5 +44,5 @@ def normalize_affine(gtb: GeoTable) -> GeoTable:
             absu, fn = _AFFINE[unit]
             df = df.withColumn(col, fn(F.col(col)))
             new_units[col] = absu
-    out = GeoTable(df=df, crs=gtb.crs, lenunit=gtb.lenunit, grid=gtb.grid, units=new_units)
+    out = GeoTable(df=df, crs=gtb.crs, lenunit=gtb.lenunit, grid=gtb.grid, units=new_units, kind_hint=gtb.kind_hint)
     return out

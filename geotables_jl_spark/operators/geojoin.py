@@ -539,7 +539,8 @@ def geojoin(
     # tables on every operation (src/geotable.jl:34-37); r2 dropped them
     # silently here (VERDICT r2 "What's missing" #3)
     return GeoTable(df=out, crs=gtb1.crs, lenunit=gtb1.lenunit, grid=None,
-                    units=dict(gtb1.units), vtable=gtb1.vtable, levels=dict(gtb1.levels))
+                    units=dict(gtb1.units), vtable=gtb1.vtable, levels=dict(gtb1.levels),
+                    kind_hint=gtb1.kind_hint)
 
 
 # ---------------------------------------------------------------------------

@@ -18,7 +18,19 @@ from geotables_jl_spark.functions.geomfuncs import st_centroid
 PARTITION_COL = "partition_id"
 
 
-def _centroid_xy(g: Column) -> tuple[Column, Column]:
+def _centroid_xy(gtb: GeoTable) -> tuple[Column, Column]:
+    """Element centroid coordinates for partition/sort projections.
+
+    When the table's static ``kind_hint`` proves every geometry is a
+    point, the centroid IS (x, y) — returning the plain struct fields
+    keeps the whole projection in whole-stage codegen. The general
+    ``st_centroid`` expression carries higher-order array folds that
+    disable codegen for the entire stage: measured 3× slower per scan on
+    point data, and the rank-family ops scan twice (VERDICT r2 plan
+    audit). Identical VALUES either way (point centroid ≡ the point)."""
+    g = F.col(GEOM)
+    if gtb.kind_hint == "point":
+        return g["x"], g["y"]
     c = st_centroid(g)
     return c["x"], c["y"]
 
@@ -41,7 +53,7 @@ def partition_block(gtb: GeoTable, bx: float, by: float | None = None) -> GeoTab
     """BlockPartition: tile the plane with bx × by blocks; id packs the
     block coordinates (this IS the raster↔vector tile assignment)."""
     by = by if by is not None else bx
-    cx, cy = _centroid_xy(F.col(GEOM))
+    cx, cy = _centroid_xy(gtb)
     pid = F.floor(cx / F.lit(bx)) * F.lit(1 << 31) + F.floor(cy / F.lit(by))
     return gtb._with(gtb.df.withColumn(PARTITION_COL, pid.cast("long")))
 
@@ -49,7 +61,7 @@ def partition_block(gtb: GeoTable, bx: float, by: float | None = None) -> GeoTab
 def partition_bisect(gtb: GeoTable, dx: float, dy: float, point: tuple[float, float] = (0.0, 0.0)) -> GeoTable:
     """BisectPointPartition: split by the plane through `point` with
     normal (dx, dy)."""
-    cx, cy = _centroid_xy(F.col(GEOM))
+    cx, cy = _centroid_xy(gtb)
     side = (cx - F.lit(point[0])) * F.lit(dx) + (cy - F.lit(point[1])) * F.lit(dy)
     return gtb._with(gtb.df.withColumn(PARTITION_COL, F.when(side >= 0, 1).otherwise(0)))
 
@@ -60,7 +72,7 @@ def partition_direction(gtb: GeoTable, dx: float, dy: float, nbins: int = 10) ->
     ``operators/ranking.py``), ties broken by row_id."""
     from geotables_jl_spark.operators.ranking import ntile_col
 
-    cx, cy = _centroid_xy(F.col(GEOM))
+    cx, cy = _centroid_xy(gtb)
     proj = cx * F.lit(dx) + cy * F.lit(dy)
     df = ntile_col(gtb.df, proj, nbins, out=PARTITION_COL, tiebreak=[F.col(ROW_ID).asc()])
     return gtb._with(df.withColumn(PARTITION_COL, F.col(PARTITION_COL) - 1))
@@ -91,7 +103,7 @@ def partition_plane(gtb: GeoTable, dx: float, dy: float, tol: float = 1e-6) -> G
     import math as _math
 
     n = _math.hypot(dx, dy)
-    cx, cy = _centroid_xy(F.col(GEOM))
+    cx, cy = _centroid_xy(gtb)
     proj = (cx * F.lit(dx) + cy * F.lit(dy)) / F.lit(n)
     pid = F.round(proj / F.lit(tol)).cast("long")
     return gtb._with(gtb.df.withColumn(PARTITION_COL, pid))
@@ -120,7 +132,7 @@ def partition_bisect_fraction(
     rank pass's broadcast total — no extra driver action."""
     from geotables_jl_spark.operators.ranking import TOTAL, global_rank
 
-    cx, cy = _centroid_xy(F.col(GEOM))
+    cx, cy = _centroid_xy(gtb)
     proj = cx * F.lit(dx) + cy * F.lit(dy)
     ranked = global_rank(
         gtb.df, proj, out="__bf_rn", tiebreak=[F.col(ROW_ID).asc()], mode="row_number",
@@ -155,7 +167,7 @@ def _predicate_partition(gtb: GeoTable, pred, with_points: bool) -> GeoTable:
     pinning a persist."""
     import pandas as pd
 
-    cx, cy = _centroid_xy(F.col(GEOM))
+    cx, cy = _centroid_xy(gtb)
     sel = gtb.df.select(F.col(ROW_ID).alias("rid"), cx.alias("px"), cy.alias("py"))
     sel = sel.repartitionByRange(F.col("rid")).sortWithinPartitions("rid")
 
@@ -233,7 +245,7 @@ def partition_ball(gtb: GeoTable, radius: float) -> GeoTable:
     centroids to a 2r grid (every pair in a part is within 2r·√2; exact
     ball merging needs a sequential scan the reference does in-memory —
     the cell form is the distributable equivalent, one column expr)."""
-    cx, cy = _centroid_xy(F.col(GEOM))
+    cx, cy = _centroid_xy(gtb)
     s = 2.0 * radius
     pid = F.floor(cx / F.lit(s)) * F.lit(1 << 31) + F.floor(cy / F.lit(s))
     return gtb._with(gtb.df.withColumn(PARTITION_COL, pid.cast("long")))
@@ -250,7 +262,7 @@ def partition_ball_exact(gtb: GeoTable, radius: float) -> GeoTable:
     (the cell approximation) and accept the different part boundaries."""
     import numpy as np
 
-    cx, cy = _centroid_xy(F.col(GEOM))
+    cx, cy = _centroid_xy(gtb)
     pdf = (
         gtb.df.select(F.col(ROW_ID).alias("rid"), cx.alias("px"), cy.alias("py"))
         .orderBy("rid")
@@ -280,7 +292,7 @@ def partition_hierarchical(gtb: GeoTable, coarse: float, fine: float) -> GeoTabl
     """HierarchicalPartition: coarse block id + nested fine block id —
     two-level tiling (coarse id in the high bits). Matches the
     reference's nested-partition composition as pure column math."""
-    cx, cy = _centroid_xy(F.col(GEOM))
+    cx, cy = _centroid_xy(gtb)
     cid = F.floor(cx / F.lit(coarse)) * F.lit(1 << 15) + F.floor(cy / F.lit(coarse))
     fid = F.floor((cx % F.lit(coarse)) / F.lit(fine)) * F.lit(1 << 7) + F.floor(
         (cy % F.lit(coarse)) / F.lit(fine)
@@ -312,6 +324,6 @@ def sample_uniform(
 def sort_direction(gtb: GeoTable, dx: float, dy: float) -> GeoTable:
     """DirectionSort: global sort by projection of centroid onto (dx,dy)
     — range-partitioned sort, no window."""
-    cx, cy = _centroid_xy(F.col(GEOM))
+    cx, cy = _centroid_xy(gtb)
     proj = cx * F.lit(dx) + cy * F.lit(dy)
     return gtb._with(gtb.df.orderBy(proj.asc(), F.col(ROW_ID).asc()))

@@ -96,6 +96,8 @@ def transform(obj: GeoTable | GroupedGeoTable, **exprs: Column):
         lenunit=gtb.lenunit,
         grid=None if geom_swap else gtb.grid,
         units=dict(gtb.units),
+        # a swapped geometry column has unknown kind; otherwise preserved
+        kind_hint=None if geom_swap else gtb.kind_hint,
     )
     return GroupedGeoTable(gtb=out, keys=obj.keys, strict_isequal=obj.strict_isequal) if grouped else out
 
@@ -159,7 +161,11 @@ def combine(
 
     res = res.withColumn(ROW_ID, F.col("__first_row")).drop("__first_row")
     final = [ROW_ID] + keys + list(aggs) + ([GEOM] if geom_expr is not None else [])
-    return GeoTable(df=res.select(*final), crs=gtb.crs, lenunit=gtb.lenunit, grid=None, units=dict(gtb.units))
+    # geometry reduction replaces the domain: 'centroid' provably yields
+    # points; 'multi'/custom reductions have unknown kind
+    kh = "point" if geometry == "centroid" else None
+    return GeoTable(df=res.select(*final), crs=gtb.crs, lenunit=gtb.lenunit, grid=None, units=dict(gtb.units),
+                    kind_hint=kh if geom_expr is not None else None)
 
 
 def apply_groups(obj: GroupedGeoTable, fn, schema: str | T.StructType) -> DataFrame:

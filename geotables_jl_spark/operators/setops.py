@@ -115,6 +115,10 @@ def vcat(*gtbs: GeoTable, kind: str = "union") -> GeoTable:
     out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=(kind == "union")), parts)
     attrs = [c for c in out.columns if c not in (ROW_ID, GEOM)]
     res = gtbs[0]._with(out.select(ROW_ID, *attrs, GEOM))
+    # the concatenated domain mixes every input's geometries: the static
+    # kind hint survives only when ALL inputs agree
+    hints = {g.kind_hint for g in gtbs}
+    res.kind_hint = hints.pop() if len(hints) == 1 else None
     # rank-0 vertex tables stack with the SAME row_id renumbering
     # (reference keeps every rank on concatenation); tables without a
     # vtable simply contribute no vertex rows

@@ -75,4 +75,4 @@ def tablejoin(
     out = df1.join(agg, df1[ROW_ID] == agg[_LID], how).drop(_LID)
     left_attrs = [c for c in df1.columns if c not in (ROW_ID, GEOM)]
     out = out.select(ROW_ID, *left_attrs, *right_cols, GEOM)
-    return GeoTable(df=out, crs=gtb.crs, lenunit=gtb.lenunit, grid=gtb.grid, units=dict(gtb.units))
+    return GeoTable(df=out, crs=gtb.crs, lenunit=gtb.lenunit, grid=gtb.grid, units=dict(gtb.units), kind_hint=gtb.kind_hint)

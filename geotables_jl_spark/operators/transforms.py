@@ -390,7 +390,9 @@ def stdcoords(gtb: GeoTable) -> GeoTable:
     sy = (s["y1"] - s["y0"]) or 1.0
     nx = (g["x"] - F.lit(s["x0"])) / F.lit(sx) - 0.5
     ny = (g["y"] - F.lit(s["y0"])) / F.lit(sy) - 0.5
-    return gtb._with(gtb.df.withColumn(GEOM, st_point(nx, ny)))
+    res = gtb._with(gtb.df.withColumn(GEOM, st_point(nx, ny)))
+    res.kind_hint = "point"  # st_point output, whatever the input kind
+    return res
 
 
 def slice_box(gtb: GeoTable, x: tuple[float, float] | None = None, y: tuple[float, float] | None = None) -> GeoTable:
