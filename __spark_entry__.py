@@ -425,25 +425,50 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace/quality stats plus the BPE-ish pre-tokenizer count
     (GPT-2 pattern sans whitespace runs, lookahead-free so Java regex and
-    DuckDB's RE2 agree match-for-match) — one map-only pass. (The r2
-    ``bpe_tokens`` entry merged in here — driver-gate slot budget.)"""
+    DuckDB's RE2 agree match-for-match). Integer components come from ONE
+    Arrow map (``text_core_arrow`` — the HOF token filters and
+    regexp_replace string builds ran interpreted at 28-37k rows/s per 8
+    cores); every ratio/round is the SAME codegen float math as the
+    column twins, so the oracle match is structural. Parity tests:
+    tests/test_textcore.py. (The r2 ``bpe_tokens`` entry merged in here —
+    driver-gate slot budget.)"""
     doc = _docs(spark, sf_dir)
+    core = TS.text_core_arrow(doc.select("doc_id", "text"))
     t = F.col("text")
-    return doc.select(
+    n_tok, n_ch = F.col("n_tokens"), F.col("n_chars")
+    punct = F.when(n_ch == 0, F.lit(0.0)).otherwise(
+        F.col("nonclean_chars").cast("double") / n_ch.cast("double")
+    )
+    stop = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.col("stop_hits").cast("double") / n_tok.cast("double")
+    )
+    mean_tok = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.col("nonws_chars").cast("double") / n_tok.cast("double")
+    )
+    nd = n_tok.cast("double")
+    len_term = F.least(nd / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(stop * F.lit(4.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct * F.lit(5.0), F.lit(1.0))
+    quality = F.round((len_term + stop_term + punct_term) / F.lit(3.0), 6)
+    return core.select(
         "doc_id",
-        TS.token_count(t).cast("long").alias("n_tokens"),
+        n_tok.cast("long").alias("n_tokens"),
         TS.bpe_token_count(t).cast("long").alias("n_bpe"),
-        F.length(t).cast("long").alias("n_chars_txt"),
-        F.round(TS.punct_ratio(t), 6).alias("punct_r"),
-        F.round(TS.stopword_ratio(t), 6).alias("stop_r"),
-        F.round(TS.mean_token_len(t), 6).alias("mean_tok"),
-        TS.quality_score(t).alias("quality"),
+        n_ch.cast("long").alias("n_chars_txt"),
+        F.round(punct, 6).alias("punct_r"),
+        F.round(stop, 6).alias("stop_r"),
+        F.round(mean_tok, 6).alias("mean_tok"),
+        quality.alias("quality"),
     )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID from the Arrow-kernel per-language hit counts; the
+    argmax/tie fold is the column twin's exact codegen logic."""
     doc = _docs(spark, sf_dir)
-    return doc.select("doc_id", TS.lang_id(F.col("text")).alias("lang_pred"))
+    core = TS.text_core_arrow(doc.select("doc_id", "text"))
+    scores = {lang: F.col(f"s_{lang}") for lang in TS.LANG_STOPWORDS}
+    return core.select("doc_id", TS.lang_id_from_scores(scores).alias("lang_pred"))
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -114,20 +114,7 @@ def lang_scores(text: Column) -> dict[str, Column]:
 def lang_id(text: Column) -> Column:
     """argmax language by stopword hits; ties broken by the fixed language
     order en > es > fr > de; no hits at all → 'und' (undetermined)."""
-    scores = lang_scores(text)
-    order = list(LANG_STOPWORDS)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    # fold right-to-left so earlier languages win ties with >= semantics
-    for lang in reversed(order):
-        s = scores[lang]
-        best_lang = F.when(s >= best_score, F.lit(lang)).otherwise(best_lang)
-        best_score = F.greatest(s, best_score)
-    # "no hits" must stay 'und': recompute with strict zero guard
-    any_hits = None
-    for lang in order:
-        any_hits = scores[lang] if any_hits is None else F.greatest(any_hits, scores[lang])
-    return F.when(any_hits > 0, best_lang).otherwise(F.lit("und"))
+    return lang_id_from_scores(lang_scores(text))
 
 
 def fingerprint(text: Column) -> Column:
@@ -389,6 +376,135 @@ def _repetition_batch(texts):
             cnt = np.diff(np.append(starts, len(d)))
             _seg_max(d[starts], cnt * m[starts], out["top_bigram_chars"])
     return out
+
+
+#: integer text-stat components emitted by text_core_arrow; every float
+#: (ratios, quality score, rounding) is rebuilt from these in codegen so
+#: oracle bit-exactness is structural, not numerical luck.
+TEXT_CORE_COLS = ("n_chars", "nonws_chars", "nonclean_chars", "n_tokens", "stop_hits")
+
+
+def _text_core_batch(texts, lang_words: dict[str, list[str]], quality_words: list[str]):
+    """Integer components for one Arrow batch. Exact-parity contracts
+    with the column twins (tests/test_textcore.py):
+
+    - n_chars = length(text) (codepoints);
+    - nonws_chars = length(regexp_replace(text, '\\s', '')) — count of
+      chars outside Java's \\s class;
+    - nonclean_chars = chars outside [0-9A-Za-z ] (punct_ratio's
+      numerator);
+    - n_tokens = token_count(): 0 when trim(text) == '' (SQL trim —
+      SPACES only), else size(split(trim(text), '\\s+')) INCLUDING the
+      leading empty a non-space whitespace prefix produces (quirk
+      parity);
+    - stop_hits / per-language hits: tokens whose lower() equals a list
+      word (empties never match, so counts are filter-invariant).
+    """
+    import itertools
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    n = len(texts)
+    s = pd.Series(texts, dtype=object)
+    out = {}
+    out["n_chars"] = s.str.len().to_numpy(dtype=np.int64)
+    out["nonws_chars"] = s.str.count("[^ \t\n\x0b\x0c\r]").to_numpy(dtype=np.int64)
+    out["nonclean_chars"] = s.str.count("[^0-9A-Za-z ]").to_numpy(dtype=np.int64)
+
+    ws = re.compile(_JAVA_WS)
+    tok_lists = []
+    n_tok = np.zeros(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        trimmed = t.strip(" ")  # SQL trim: spaces only, NOT tabs/newlines
+        if trimmed == "":
+            tok_lists.append([])
+            continue
+        toks = ws.split(trimmed)
+        n_tok[i] = len(toks)  # keeps boundary empties — column-twin parity
+        tok_lists.append([w for w in toks if w])  # empties never hit a stopword
+    out["n_tokens"] = n_tok
+
+    flat = list(itertools.chain.from_iterable(tok_lists))
+    lang_cols = {f"s_{lang}": np.zeros(n, dtype=np.int64) for lang in lang_words}
+    out["stop_hits"] = np.zeros(n, dtype=np.int64)
+    if flat:
+        doc = np.repeat(
+            np.arange(n, dtype=np.int64),
+            np.fromiter((len(ls) for ls in tok_lists), dtype=np.int64, count=n),
+        )
+        codes, uniq = pd.factorize(pd.array(flat, dtype=object))
+        low = np.array([u.lower() for u in uniq], dtype=object)
+
+        def hits(words: list[str]) -> np.ndarray:
+            mask = np.isin(low, np.array(words, dtype=object))
+            return np.bincount(doc, weights=mask[codes], minlength=n).astype(np.int64)
+
+        out["stop_hits"] = hits(quality_words)
+        for lang, words in lang_words.items():
+            lang_cols[f"s_{lang}"] = hits(words)
+    out.update(lang_cols)
+    return out
+
+
+def text_core_arrow(df, text_col: str = "text", keep: tuple[str, ...] = ("doc_id",)):
+    """ONE Arrow map emitting the integer text-stat components
+    (``TEXT_CORE_COLS`` + per-language ``s_<lang>`` hit counts) plus the
+    pass-through text column. The HOF column twins (``token_count``,
+    ``stopword_ratio``'s filter, ``lang_scores``) evaluate interpreted —
+    they disable whole-stage codegen for their stage; measured 37k
+    rows/s (lang_id) / 28k rows/s (punct_ratio's regexp_replace string
+    build) per 8 cores vs ~1M rows/s through this kernel. Ratios,
+    quality score and rounding are NOT computed here — callers rebuild
+    them in codegen from the integers, so DuckDB-oracle bit-exactness is
+    structural. Null text → all-null components (twin parity)."""
+    import pandas as pd
+
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    stat_cols = list(TEXT_CORE_COLS) + [f"s_{lang}" for lang in LANG_STOPWORDS]
+    schema = (
+        ", ".join(f"{c} {fields[c]}" for c in keep)
+        + f", {text_col} string, "
+        + ", ".join(f"{c} long" for c in stat_cols)
+    )
+    cols = list(keep) + [text_col]
+
+    def _iter(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            t = pdf[text_col]
+            null = t.isna().to_numpy()
+            stats = _text_core_batch(
+                t.fillna("").tolist(), LANG_STOPWORDS, QUALITY_STOPWORDS
+            )
+            res = pdf[cols].copy()
+            for c in stat_cols:
+                col = pd.array(stats[c], dtype="Int64")
+                if null.any():
+                    col[null] = None
+                res[c] = col
+            yield res
+
+    return df.select(*cols).mapInPandas(_iter, schema=schema)
+
+
+def lang_id_from_scores(scores: dict[str, Column]) -> Column:
+    """argmax language from per-language hit-count COLUMNS — the exact
+    tie/zero logic of :func:`lang_id`, reusable over precomputed counts
+    (e.g. ``text_core_arrow``'s ``s_<lang>`` integers)."""
+    order = list(LANG_STOPWORDS)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in reversed(order):
+        sc = scores[lang]
+        best_lang = F.when(sc >= best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.greatest(sc, best_score)
+    any_hits = None
+    for lang in order:
+        any_hits = scores[lang] if any_hits is None else F.greatest(any_hits, scores[lang])
+    return F.when(any_hits > 0, best_lang).otherwise(F.lit("und"))
 
 
 def repetition_stats_arrow(df, text_col: str = "text", keep: tuple[str, ...] = ("doc_id",)):
