@@ -32,6 +32,7 @@ from geotables_jl_spark.core.geotable import GEOM, ROW_ID, GeoTable, georef, geo
 from geotables_jl_spark.functions import textstats as TS
 from geotables_jl_spark.geom.model import st_box, st_polygon_lit
 from geotables_jl_spark.operators import dedup as DD
+from geotables_jl_spark.operators.asof import asof_join
 from geotables_jl_spark.operators import simsearch as SS
 from geotables_jl_spark.operators import transforms as TR
 from geotables_jl_spark.operators.geojoin import geojoin, knn_join, spatial_filter
@@ -430,8 +431,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp_replace string builds ran interpreted at 28-37k rows/s per 8
     cores); every ratio/round is the SAME codegen float math as the
     column twins, so the oracle match is structural. Parity tests:
-    tests/test_textcore.py. (The r2 ``bpe_tokens`` entry merged in here —
-    driver-gate slot budget.)"""
+    tests/test_textcore.py. (The r2 ``bpe_tokens``, ``lang_id`` and
+    ``fingerprint`` entries merged in here — driver-gate slot budget;
+    all three are per-doc scalars over the same table, so one gated
+    query covers them column-for-column.)"""
     doc = _docs(spark, sf_dir)
     core = TS.text_core_arrow(doc.select("doc_id", "text"))
     t = F.col("text")
@@ -459,21 +462,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stop, 6).alias("stop_r"),
         F.round(mean_tok, 6).alias("mean_tok"),
         quality.alias("quality"),
+        TS.lang_id_from_scores(
+            {lang: F.col(f"s_{lang}") for lang in TS.LANG_STOPWORDS}
+        ).alias("lang_pred"),
+        TS.fingerprint(t).alias("fp"),
     )
-
-
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID from the Arrow-kernel per-language hit counts; the
-    argmax/tie fold is the column twin's exact codegen logic."""
-    doc = _docs(spark, sf_dir)
-    core = TS.text_core_arrow(doc.select("doc_id", "text"))
-    scores = {lang: F.col(f"s_{lang}") for lang in TS.LANG_STOPWORDS}
-    return core.select("doc_id", TS.lang_id_from_scores(scores).alias("lang_pred"))
-
-
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = _docs(spark, sf_dir)
-    return doc.select("doc_id", TS.fingerprint(F.col("text")).alias("fp"))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -995,6 +988,46 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.repetition_stats_arrow(d.select("doc_id", "text"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH pairs closed under transitivity via
+    distributed connected components (min-label propagation + pointer
+    jumping, O(log n) rounds of key-partitioned joins — the DataFrame
+    rendering of alternating-star MapReduce CC). cluster_id = min doc_id
+    reachable; csize = member count. Oracle replays the same closure as
+    a recursive CTE over the exact-Jaccard pair set (LSH at 32 bands ×
+    2 rows has recall ~1 at j≥0.8, the same equivalence minhash_lsh's
+    gate already relies on)."""
+    doc = _docs(spark, sf_dir)
+    return DD.dedup_clusters(
+        doc, "doc_id", "text", threshold=0.8, num_perm=64, bands=32, shingle_n=3
+    )
+
+
+def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click event picks up the latest prior purchase
+    of the same user (inclusive, event_id tie-break). Single-shuffle
+    union+window plan — |clicks|+|purchases| rows shuffled once on
+    user_id, then one sorted in-partition pass; the window is always
+    key-partitioned. Oracle: DuckDB LEFT JOIN LATERAL ... ORDER BY ts
+    DESC LIMIT 1 (deterministic under the same tie-break)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pid"), "value"
+    )
+    out = asof_join(clicks, purch, on=["user_id"], ts="ts", tie_col="pid")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_r").alias("purchase_ts"),
+        F.col("pid_r").alias("purchase_id"),
+        F.col("value_r").alias("purchase_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1023,12 +1056,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is smallest (webpages_identity — webpages_extract_text already
         # gates the byte-identical text invariant on the same table) sits
         # last, so a cap drops it and nothing else.  To fit the round-3
-        # additions (s2_cells, s2_dwithin, s2_knn, repetition_stats) in
-        # the gated 50, near-twin r2 entries were MERGED, not dropped —
-        # every op keeps driver-gated oracle evidence under the new names:
+        # additions (s2_cells, s2_dwithin, s2_knn, repetition_stats,
+        # dedup_clusters, asof_events) in the gated 50, near-twin r2
+        # entries were MERGED, not dropped — every op keeps driver-gated
+        # oracle evidence under the new names:
         #   minmax_scale + interquartile  -> scale_minmax_iq
         #   functional_sqrt + dropextrema -> functional_dropextrema
-        #   bpe_tokens                    -> text_stats (n_bpe column)
+        #   bpe_tokens, lang_id,
+        #     fingerprint                 -> text_stats (n_bpe, lang_pred,
+        #                                   fp columns — same table, same
+        #                                   per-doc scalar shape)
         #   feature_zscore + stdfeats     -> feature_standardize
         # and the interim s2_cell_join entry was SUPERSEDED by s2_dwithin
         # (whose filter stage IS the cell equi-join, now end-to-end gated
@@ -1051,9 +1088,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_select": q_spatial_select,
         "text_stats": q_text_stats,
         "repetition_stats": q_repetition_stats,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
+        "dedup_clusters": q_dedup_clusters,
+        "asof_events": q_asof_events,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -1543,7 +1580,13 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": f"""
             SELECT doc_id, n_tokens, n_bpe, n_chars_txt,
                    round(punct_raw, 6) AS punct_r, round(stop_raw, 6) AS stop_r,
-                   round(mean_raw, 6) AS mean_tok, {quality} AS quality
+                   round(mean_raw, 6) AS mean_tok, {quality} AS quality,
+                   CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                        WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                        WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                        WHEN s_fr >= s_de THEN 'fr'
+                        ELSE 'de' END AS lang_pred,
+                   fp
             FROM (
               SELECT doc_id,
                      CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS BIGINT) AS n_tokens,
@@ -1555,24 +1598,11 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN len(toks) = 0 THEN 0.0
                           ELSE CAST(len(list_filter(toks, t -> list_contains([{_STOP}], lower(t)))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stop_raw,
                      CASE WHEN len(toks) = 0 THEN 0.0
-                          ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS mean_raw
+                          ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS mean_raw,
+                     {_sql_lang_scores()},
+                     {_SQL_FP.format(col="text")} AS fp
               FROM (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents)
             )
-        """,
-        "lang_id": f"""
-            SELECT doc_id,
-                   CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
-                        WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
-                        WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
-                        WHEN s_fr >= s_de THEN 'fr'
-                        ELSE 'de' END AS lang_pred
-            FROM (
-              SELECT doc_id, {_sql_lang_scores()}
-              FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
-            )
-        """,
-        "fingerprint": f"""
-            SELECT doc_id, {_SQL_FP.format(col="text")} AS fp FROM documents
         """,
         "dedup_exact": f"""
             SELECT min(doc_id) AS keeper_id, count(*) AS dup_count,
@@ -1581,6 +1611,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": _SQL_JACCARD,
         "minhash_lsh": _SQL_JACCARD,  # LSH with 32 bands × 2 rows has recall ~1 at j>=0.8
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_SQL_JACCARD}),
+            sym AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b AS u, id_a AS v FROM pairs
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM sym
+              UNION
+              SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+            ),
+            comp AS (
+              SELECT u AS doc_id, least(min(v), u) AS cluster_id
+              FROM reach GROUP BY u
+            )
+            SELECT doc_id, cluster_id,
+                   CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS csize
+            FROM comp
+        """,
+        "asof_events": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.ts AS purchase_ts, r.event_id AS purchase_id,
+                   r.value AS purchase_value
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+            LEFT JOIN LATERAL (
+              SELECT p.ts, p.event_id, p.value
+              FROM events p
+              WHERE p.event_type = 'purchase'
+                AND p.user_id = l.user_id AND p.ts <= l.ts
+              ORDER BY p.ts DESC, p.event_id DESC
+              LIMIT 1
+            ) r ON true
+        """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))

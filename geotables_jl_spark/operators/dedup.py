@@ -509,3 +509,107 @@ def _blocked_cosine_pairs(base: DataFrame, threshold: float, n_blocks: int = 8) 
 
     pairs = expl.groupBy("__bi", "__bj").applyInPandas(_score, schema=out_schema)
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster canonicalization (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs.
+
+    Returns ``(id, comp)`` for every node appearing in ``pairs``, where
+    ``comp`` is the MINIMUM node id reachable from ``id`` — the
+    deterministic canonical representative every production dedup
+    pipeline keys on ("keep the smallest doc_id per near-dup cluster").
+    The reference has no graph operator (its dedup surface stops at
+    pairs); this is the training-pipeline closure step over
+    ``minhash_lsh_pairs``/``simhash_pairs`` output.
+
+    Algorithm: min-label propagation with pointer jumping (a DataFrame
+    rendering of the alternating-star MapReduce CC of Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+    does (1) ``comp'(v) = min(comp(v), min over neighbors comp(u))`` —
+    one equi-join + map-side-combinable groupBy — and (2) one pointer
+    jump ``comp''(v) = comp'(comp'(v))`` — a self-join on the label —
+    so label trees halve in height every round: convergence in
+    O(log(diameter)) rounds, each round a constant number of shuffles
+    on the node id. Labels are ``localCheckpoint``-ed per round to cut
+    the iterative lineage (on a cluster: reliable checkpoint / parquet
+    round files — same hook the pipeline layer uses). Driver work per
+    round is ONE count action (the convergence test); nothing else is
+    collected, so the operator scales with cluster parallelism, not
+    driver memory.
+    """
+    e = pairs.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    lab = sym.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id"))
+    lab = lab.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # (1) neighbor min: one shuffle join + partial-agg groupBy
+        nbr = (
+            sym.join(lab.select(F.col("id").alias("v"), F.col("comp").alias("vc")), "v")
+            .groupBy("u")
+            .agg(F.min("vc").alias("nc"))
+            .select(F.col("u").alias("id"), "nc")
+        )
+        stepped = lab.join(nbr, "id", "left").select(
+            "id", F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias("comp")
+        )
+        # (2) pointer jump: comp <- comp(comp)
+        par = stepped.select(F.col("id").alias("pid"), F.col("comp").alias("pc"))
+        jumped = stepped.join(par, stepped["comp"] == par["pid"], "left").select(
+            "id", F.coalesce(F.col("pc"), F.col("comp")).alias("comp")
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = (
+            jumped.join(lab.select(F.col("id").alias("id"), F.col("comp").alias("old")), "id")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        lab = jumped
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    return lab
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH pairs → connected components.
+
+    Output one row per clustered document: ``(doc_id, cluster_id,
+    csize)`` with ``cluster_id`` = min doc_id in the component and
+    ``csize`` its member count. Documents with no near-dup partner are
+    not emitted (singletons are the ~100% common case at scale; emitting
+    them would dwarf the useful output)."""
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, threshold=threshold, num_perm=num_perm,
+        bands=bands, shingle_n=shingle_n,
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("csize"))
+    return comp.join(sizes, "comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        F.col("csize").cast("long").alias("csize"),
+    )

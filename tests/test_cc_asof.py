@@ -1,0 +1,157 @@
+"""connected_components / dedup_clusters / asof_join.
+
+Oracles are independent: a pure-Python union-find for components, and
+pandas.merge_asof for the temporal join.
+"""
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geotables_jl_spark.operators.asof import asof_join
+from geotables_jl_spark.operators.dedup import connected_components, dedup_clusters
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+def test_cc_chain_and_islands(spark):
+    # a 40-node chain (worst case for plain label propagation: needs
+    # pointer jumping to converge in O(log n)), two islands, dup/reversed
+    # edges and a self-loop
+    edges = [(i, i + 1) for i in range(100, 140)]
+    edges += [(7, 3), (3, 9), (50, 51), (51, 50), (60, 60)]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {
+        r["id"]: r["comp"] for r in connected_components(df, max_iter=12).collect()
+    }
+    want = _uf_components([(u, v) for u, v in edges if u != v])
+    assert got == want
+    # chain collapses to its min node
+    assert got[139] == 100 and got[9] == 3
+
+
+def test_cc_random_graphs_vs_union_find(spark):
+    rng = random.Random(4242)
+    for trial in range(3):
+        n = 200
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(150 + 50 * trial)
+        ]
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+        got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+        assert got == _uf_components(edges)
+
+
+def test_dedup_clusters_matches_pairwise_closure(spark):
+    # docs engineered into two near-dup clusters + singletons
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    alt = "completely different content about spark shuffles and parquet files here"
+    rows = [
+        (1, base), (2, base + " x"), (3, base + " y"),
+        (10, alt), (11, alt + " z"),
+        (20, "a short unrelated sentence"), (21, "another unrelated one entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = dedup_clusters(df, "doc_id", "text", threshold=0.5, shingle_n=2)
+    got = {(r["doc_id"], r["cluster_id"], r["csize"]) for r in out.collect()}
+    assert got == {
+        (1, 1, 3), (2, 1, 3), (3, 1, 3),
+        (10, 10, 2), (11, 10, 2),
+    }
+
+
+def test_asof_backward_fixture(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 7, "d")],
+        "k: long, t: long, lv: string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 99, 990.0)],
+        "k: long, t: long, rv: double",
+    )
+    out = asof_join(left, right, on=["k"], ts="t").orderBy("k", "t").collect()
+    # (k=1,t=5): no prior -> null; (t=10): inclusive match at 10;
+    # (t=20): latest prior is 15; (k=2,t=7): right only at 99 -> null
+    assert [(r["k"], r["t"], r["t_r"], r["rv_r"]) for r in out] == [
+        (1, 5, None, None),
+        (1, 10, 10, 100.0),
+        (1, 20, 15, 150.0),
+        (2, 7, None, None),
+    ]
+    assert out[0]["lv"] == "c"  # left columns pass through
+
+
+def test_asof_forward_tolerance_ties(spark):
+    left = spark.createDataFrame([(1, 10), (1, 30)], "k: long, t: long")
+    right = spark.createDataFrame(
+        [(1, 12, 7, "lo"), (1, 12, 9, "hi"), (1, 90, 1, "far")],
+        "k: long, t: long, rid: long, rv: string",
+    )
+    fwd = asof_join(left, right, on=["k"], ts="t", kind="forward", tie_col="rid")
+    got = {(r["t"], r["rv_r"]) for r in fwd.collect()}
+    # forward: t=10 -> earliest >=10 is ts 12, tie -> min rid wins; t=30 -> 90
+    assert got == {(10, "lo"), (30, "far")}
+    tol = asof_join(
+        left, right, on=["k"], ts="t", kind="forward", tolerance_s=5, tie_col="rid"
+    )
+    got_tol = {(r["t"], r["rv_r"]) for r in tol.collect()}
+    assert got_tol == {(10, "lo"), (30, None)}  # 90-30 > 5 -> nulled, row kept
+
+
+def test_asof_random_vs_pandas_merge_asof(spark):
+    rng = random.Random(99)
+    lrows = [(rng.randrange(5), rng.randrange(1000)) for _ in range(300)]
+    rrows_set = set()
+    while len(rrows_set) < 200:
+        rrows_set.add((rng.randrange(5), rng.randrange(1000)))
+    rrows = [(k, t, float(k * 10000 + t)) for k, t in sorted(rrows_set)]
+    left = spark.createDataFrame(lrows, "k: long, t: long")
+    right = spark.createDataFrame(rrows, "k: long, t: long, rv: double")
+    got = (
+        asof_join(left, right, on=["k"], ts="t")
+        .orderBy("k", "t")
+        .toPandas()[["k", "t", "rv_r"]]
+    )
+    lp = pd.DataFrame(lrows, columns=["k", "t"]).sort_values("t")
+    rp = pd.DataFrame(rrows, columns=["k", "t", "rv"]).sort_values("t")
+    want = (
+        pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    assert list(got["k"]) == list(want["k"])
+    assert list(got["t"]) == list(want["t"])
+    gv = got["rv_r"].fillna(-1).tolist()
+    wv = want["rv"].fillna(-1).tolist()
+    assert gv == wv
+
+
+def test_asof_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "k: long, t: long")
+    with pytest.raises(ValueError):
+        asof_join(df, df, on=[], ts="t")
+    with pytest.raises(ValueError):
+        asof_join(df, df, on=["k"], ts="missing")
+    with pytest.raises(ValueError):
+        asof_join(df, df.withColumnRenamed("t", "x"), on=["k"], ts="t")
+    clash = df.withColumn("t_r", F.lit(1))
+    with pytest.raises(ValueError):
+        asof_join(clash, df, on=["k"], ts="t")
