@@ -89,3 +89,19 @@ def test_s2_knn_kernel_arm_is_one_map_stage(spark):
     assert all("REPARTITION_BY_NUM" in ln for ln in exchanges), exchanges
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_driver_registry_contract():
+    """Registry invariants the gate depends on (no Spark needed):
+    every gated query has an oracle, bench twins stay out of the gate,
+    and the suspected 50-entry driver cap can only ever drop the one
+    designated sacrificial entry (webpages_identity, whose unique
+    coverage is already gated by webpages_extract_text)."""
+    qs = list(E.queries())
+    os_ = E.oracle_sql()
+    assert set(qs) == set(os_), (
+        set(qs) ^ set(os_)
+    )
+    assert len(qs) <= 51, "51st+ entries silently fall off the driver gate"
+    assert qs[-1] == "webpages_identity"
+    assert set(E.bench_extra()).isdisjoint(qs)
