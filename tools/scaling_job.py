@@ -119,6 +119,37 @@ def run_s2_knn(spark, input_dir: str, sf_dir: str) -> dict:
     return {"job": "s2_knn", "rows": n_rows, "sec": round(dt, 3)}
 
 
+def run_asof(spark, input_dir: str) -> dict:
+    """As-of join at scale: every page picks up the latest prior
+    "config snapshot" of its host — left/right both derived from the
+    SAME pre-materialized page table with pure column math (identical
+    bytes at every parallelism level). Exercises the operator's one
+    shuffle (union on host key) + per-key sorted window pass; snapshots
+    are a 1/10 subset so the right side is realistic-sparse."""
+    from geotables_jl_spark.operators.asof import asof_join
+
+    pages = spark.read.parquet(input_dir).select("row_id")
+    base = pages.select(
+        "row_id",
+        (F.col("row_id") % 500000).alias("host"),
+        ((F.col("row_id") * 9973) % 100000000).alias("ts"),
+    )
+    left = base
+    right = base.filter(F.col("row_id") % 10 == 0).select(
+        "host",
+        "ts",
+        F.col("row_id").alias("snap_id"),
+        ((F.col("row_id") * 7) % 1000).alias("cfg"),
+    )
+    n_rows = left.count()
+    t0 = time.perf_counter()
+    asof_join(left, right, on=["host"], ts="ts", tie_col="snap_id").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    return {"job": "asof_join", "rows": n_rows, "sec": round(dt, 3)}
+
+
 def main() -> None:
     cpus = int(sys.argv[1])
     input_dir = sys.argv[2]
@@ -145,9 +176,13 @@ def main() -> None:
         "geojoin_intersects": (run_geojoin, (spark, input_dir)),
         "geojoin_knn": (run_knn, (spark, input_dir, sf_dir)),
         "s2_knn": (run_s2_knn, (spark, input_dir, sf_dir)),
+        "asof_join": (run_asof, (spark, input_dir)),
     }
     only = os.environ.get("SPARK_GRAFT_SCALING_JOBS")
-    names = [n.strip() for n in only.split(",")] if only else list(jobs)
+    # default = the north-rule join jobs; extras (asof_join) run only
+    # when requested so documented repro commands keep their duration
+    default = ["geojoin_intersects", "geojoin_knn", "s2_knn"]
+    names = [n.strip() for n in only.split(",")] if only else default
     # best-of-2 per job guards against one-off GC/compaction stalls
     for name in names:
         fn, args = jobs[name]
