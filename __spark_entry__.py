@@ -1612,8 +1612,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _SQL_JACCARD,
         "minhash_lsh": _SQL_JACCARD,  # LSH with 32 bands × 2 rows has recall ~1 at j>=0.8
         "dedup_clusters": f"""
-            WITH RECURSIVE pairs AS ({_SQL_JACCARD}),
-            sym AS (
+            WITH RECURSIVE pairs AS MATERIALIZED ({_SQL_JACCARD}),
+            sym AS MATERIALIZED (
               SELECT id_a AS u, id_b AS v FROM pairs
               UNION
               SELECT id_b AS u, id_a AS v FROM pairs
