@@ -572,7 +572,9 @@ def connected_components(
         jumped = stepped.join(par, stepped["comp"] == par["pid"], "left").select(
             "id", F.coalesce(F.col("pc"), F.col("comp")).alias("comp")
         )
-        jumped = jumped.localCheckpoint(eager=True)
+        # lazy checkpoint: the convergence count below is the action that
+        # materializes it, so each round costs ONE job, not two
+        jumped = jumped.localCheckpoint(eager=False)
         changed = (
             jumped.join(lab.select(F.col("id").alias("id"), F.col("comp").alias("old")), "id")
             .filter(F.col("comp") != F.col("old"))
