@@ -1128,6 +1128,18 @@ def q_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate, one map-only pass (two chained Arrow
+    kernels + codegen rule tail, zero shuffles). Bench-only: its rule
+    booleans are pure functions of the text_stats/repetition_stats
+    integer columns the gate already oracles bit-exactly, so a separate
+    gate slot would re-verify the same math."""
+    from geotables_jl_spark.operators.quality import gopher_quality_filter
+
+    doc = _docs(spark, sf_dir)
+    return gopher_quality_filter(doc, "doc_id", "text")
+
+
 def q_sample_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-DEFAULT uniform sample (compiled murmur3 rank) — bench-only
     twin of q_sample_uniform (md5 oracle family)."""
@@ -1144,6 +1156,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "simhash_fast": q_simhash_fast,
         "sample_fast": q_sample_fast,
+        "quality_filter": q_quality_filter,
     }
 
 
