@@ -12,6 +12,8 @@ for the projections a web-scale pipeline actually meets:
   transverse Mercator via the 4th-order Krüger series (~mm accuracy)
 - Lambert conformal conic 2SP (EPSG:2154 Lambert-93, EPSG:3034 ETRS89
   Europe, ESRI:102004 USA contiguous, or "LCC:lat1,lat2,lat0,lon0,fe,fn")
+- Polar Stereographic variant B (EPSG:3413/3976 NSIDC sea-ice grids,
+  EPSG:3031 Antarctic, or "PS:lat_ts,lon0,fe,fn") — EPSG method 9829
 
 Every transform is a composition of codegen-friendly Spark column
 expressions (trig/log/exp/sqrt) — reprojection of 10^12 points is a
@@ -198,6 +200,59 @@ def _lcc_inverse(x: Column, y: Column, p: LCCParams) -> XY:
 
 
 # ---------------------------------------------------------------------------
+# Polar Stereographic variant B (EPSG method 9829 — standard parallel)
+
+
+@dataclass(frozen=True)
+class PSParams:
+    lat_ts: float  # standard parallel (sign selects the aspect/pole)
+    lon0: float
+    fe: float
+    fn: float
+
+    def constants(self) -> tuple[float, float, bool]:
+        """(m_c, t_c, north) at the standard parallel — scale is true
+        there by construction (Snyder 1987 eq. 21-32..34; EPSG GN7-2)."""
+        north = self.lat_ts >= 0
+        p = math.radians(abs(self.lat_ts))
+        s = math.sin(p)
+        m_c = math.cos(p) / math.sqrt(1.0 - E2 * s * s)
+        t_c = math.tan(math.pi / 4.0 - p / 2.0) / (
+            (1.0 - E1 * s) / (1.0 + E1 * s)
+        ) ** (E1 / 2.0)
+        return m_c, t_c, north
+
+
+def _ps_forward(lon: Column, lat: Column, p: PSParams) -> XY:
+    m_c, t_c, north = p.constants()
+    phi = F.radians(lat) if north else -F.radians(lat)
+    lam = F.radians(lon - F.lit(p.lon0))
+    t = _conformal_t(phi)
+    rho = F.lit(A_WGS84 * m_c / t_c) * t
+    de = rho * F.sin(lam)
+    dn = rho * F.cos(lam)
+    if north:
+        return F.lit(p.fe) + de, F.lit(p.fn) - dn
+    # south aspect: the map flips with latitude, so northing adds
+    return F.lit(p.fe) + de, F.lit(p.fn) + dn
+
+
+def _ps_inverse(x: Column, y: Column, p: PSParams) -> XY:
+    m_c, t_c, north = p.constants()
+    dx = x - F.lit(p.fe)
+    dy = (F.lit(p.fn) - y) if north else (y - F.lit(p.fn))
+    rho = F.sqrt(dx * dx + dy * dy)
+    t = rho * F.lit(t_c / (A_WGS84 * m_c))
+    chi = F.lit(math.pi / 2.0) - F.lit(2.0) * F.atan(t)
+    lat_abs = F.degrees(_inv_conformal_lat(chi))
+    lam = F.atan2(dx, dy)
+    # polar aspects see the full longitude range: wrap lon0-shifted
+    # results back to (-180, 180] (UTM/LCC stay near lon0 and skip this)
+    lon = F.pmod(F.degrees(lam) + F.lit(p.lon0) + F.lit(180.0), F.lit(360.0)) - F.lit(180.0)
+    return lon, (lat_abs if north else -lat_abs)
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -246,6 +301,25 @@ _LCC_CODES: dict[str, LCCParams] = {
 }
 
 
+# Polar Stereographic instances (public EPSG registry parameters):
+# EPSG:3413 NSIDC Sea Ice North (lat_ts 70N, lon0 -45),
+# EPSG:3976 NSIDC Sea Ice South (lat_ts -70, lon0 0),
+# EPSG:3031 Antarctic Polar Stereographic (lat_ts -71, lon0 0)
+_PS_CODES: dict[str, PSParams] = {
+    "epsg:3413": PSParams(70.0, -45.0, 0.0, 0.0),
+    "epsg:3976": PSParams(-70.0, 0.0, 0.0, 0.0),
+    "epsg:3031": PSParams(-71.0, 0.0, 0.0, 0.0),
+}
+
+
+def _ps_def(name: str, p: PSParams) -> CRSDef:
+    return CRSDef(
+        name,
+        to_ll=lambda x, y: _ps_inverse(x, y, p),
+        from_ll=lambda lon, lat: _ps_forward(lon, lat, p),
+    )
+
+
 def _utm_def(zone: int, north: bool) -> CRSDef:
     if not 1 <= zone <= 60:
         raise ValueError(f"UTM zone out of range: {zone}")
@@ -283,6 +357,14 @@ def parse_crs(spec: str) -> CRSDef:
     if key in _LCC_CODES:
         canonical = key.upper().replace("EPSG:", "EPSG:").replace("ESRI:", "ESRI:")
         return _lcc_def(canonical, _LCC_CODES[key])
+    if key in _PS_CODES:
+        return _ps_def(key.upper(), _PS_CODES[key])
+    m = re.fullmatch(r"ps:([-+e\d.,]+)", key)
+    if m:
+        vals = [float(v) for v in m.group(1).split(",")]
+        if len(vals) != 4:
+            raise ValueError(f"PS spec needs 4 params lat_ts,lon0,fe,fn: {spec}")
+        return _ps_def("PS:" + ",".join(f"{v:.10g}" for v in vals), PSParams(*vals))
     m = re.fullmatch(r"lcc:([-+e\d.,]+)", key)
     if m:
         vals = [float(v) for v in m.group(1).split(",")]

@@ -165,3 +165,53 @@ def test_geojoin_auto_reproject_epsg_codes(spark):
     for ti in range(6):
         for tj in range(4):
             assert got[(ti, tj)] == want.get((ti, tj)), (ti, tj, got[(ti, tj)], want.get((ti, tj)))
+
+
+def test_polar_stereographic_roundtrip_and_invariants(spark):
+    """Polar Stereographic variant B (EPSG 9829): EPSG:3413/3976/3031
+    NSIDC/Antarctic grids + parametric PS: spelling."""
+    pts_n = [(85.0, 10.0), (75.0, -120.0), (70.0, -45.0), (60.1, 179.5)]
+    assert _roundtrip_err(spark, "EPSG:3413", pts_n) < 1e-9
+    pts_s = [(-85.0, 30.0), (-71.0, 0.0), (-60.0, -170.0), (-89.9, 12.0)]
+    assert _roundtrip_err(spark, "EPSG:3031", pts_s) < 1e-9
+    assert _roundtrip_err(spark, "EPSG:3976", pts_s) < 1e-9
+    assert _roundtrip_err(spark, "PS:70,-45,0,0", pts_n) < 1e-9
+
+    def project(crs, lat, lon):
+        df = spark.createDataFrame([(0, lat, lon)], "row_id long, lat double, lon double")
+        r = reproject(georef(df, coords=["lat", "lon"]), crs).df.select(
+            F.col("geometry")["x"].alias("e"), F.col("geometry")["y"].alias("n")
+        ).collect()[0]
+        return r["e"], r["n"]
+
+    # the pole maps to exactly (FE, FN) = (0, 0), any longitude
+    for lon in (0.0, 33.0, -170.0):
+        e, n = project("EPSG:3413", 90.0, lon)
+        assert abs(e) < 1e-6 and abs(n) < 1e-6
+        e, n = project("EPSG:3031", -90.0, lon)
+        assert abs(e) < 1e-6 and abs(n) < 1e-6
+
+    # orientation: on the central meridian (lon0=-45 for 3413) easting
+    # is 0 and northing negative (grid north points along lon0)
+    e, n = project("EPSG:3413", 70.0, -45.0)
+    assert abs(e) < 1e-6 and n < 0
+
+    # scale is TRUE at the standard parallel: the projected length of a
+    # small arc along 70°N equals its ellipsoidal parallel length
+    # a·m(70°)·dλ (independent recomputation of m here)
+    a, e2 = 6378137.0, 0.00669437999014132
+    phi = math.radians(70.0)
+    m_ts = math.cos(phi) / math.sqrt(1.0 - e2 * math.sin(phi) ** 2)
+    dlam = math.radians(0.01)
+    e1, n1 = project("EPSG:3413", 70.0, -45.0)
+    e2_, n2 = project("EPSG:3413", 70.0, -45.0 + 0.01)
+    proj_len = math.hypot(e2_ - e1, n2 - n1)
+    true_len = a * m_ts * dlam
+    assert abs(proj_len / true_len - 1.0) < 1e-6
+
+
+def test_canonical_ps_codes():
+    assert canonical_crs("EPSG:3413") == "EPSG:3413"
+    assert canonical_crs("epsg:3031") == "EPSG:3031"
+    with pytest.raises(ValueError):
+        parse_crs("PS:70,-45,0")  # needs 4 params
