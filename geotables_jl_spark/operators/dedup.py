@@ -553,9 +553,22 @@ def connected_components(
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     sym = sym.localCheckpoint(eager=True)
 
+    # size the loop's parallelism to the EDGE SET, not the corpus: LSH
+    # pair graphs are orders of magnitude smaller than their corpus, and
+    # a round over a few thousand edges scheduled across 32 shuffle
+    # partitions is pure task overhead. ~100k edges per partition, at
+    # least one — at real scale this leaves parallelism untouched.
+    n_edges = sym.count()
+    spark = pairs.sparkSession
+    default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    loop_p = max(1, min(default_p, n_edges // 100_000 + 1))
+    if loop_p < default_p:
+        sym = sym.repartition(loop_p, "v").localCheckpoint(eager=True)
+
     lab = sym.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id"))
     lab = lab.localCheckpoint(eager=True)
 
+    prev_total = None
     for _ in range(max_iter):
         # (1) neighbor min: one shuffle join + partial-agg groupBy
         nbr = (
@@ -572,17 +585,19 @@ def connected_components(
         jumped = stepped.join(par, stepped["comp"] == par["pid"], "left").select(
             "id", F.coalesce(F.col("pc"), F.col("comp")).alias("comp")
         )
-        # lazy checkpoint: the convergence count below is the action that
-        # materializes it, so each round costs ONE job, not two
+        # lazy checkpoint materialized by the convergence aggregate below:
+        # ONE job per round. Convergence is join-free — labels only ever
+        # decrease, so Σcomp (exact decimal, no long overflow at 10^12
+        # ids) is strictly decreasing until the fixpoint; equal
+        # consecutive totals mean the round changed nothing.
         jumped = jumped.localCheckpoint(eager=False)
-        changed = (
-            jumped.join(lab.select(F.col("id").alias("id"), F.col("comp").alias("old")), "id")
-            .filter(F.col("comp") != F.col("old"))
-            .count()
-        )
+        total = jumped.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         lab = jumped
-        if changed == 0:
+        if prev_total is not None and total == prev_total:
             break
+        prev_total = total
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
     return lab
