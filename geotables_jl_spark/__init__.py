@@ -23,6 +23,9 @@ from geotables_jl_spark.core.geotable import GeoTable, georef, georef_grid
 from geotables_jl_spark.functions.crs import canonical_crs, parse_crs, reproject
 from geotables_jl_spark.operators.geojoin import geojoin, knn_join
 from geotables_jl_spark.operators.geojoin_s2 import s2_dwithin_join, s2_knn_join, s2_point_prep
+from geotables_jl_spark.operators.asof import asof_join
+from geotables_jl_spark.operators.dedup import connected_components, dedup_clusters
+from geotables_jl_spark.operators.quality import gopher_quality_filter
 from geotables_jl_spark.operators.tablejoin import tablejoin
 from geotables_jl_spark.plans.checkpoint import Checkpointer
 from geotables_jl_spark.plans.pipeline import Pipeline, geotag_pipeline
