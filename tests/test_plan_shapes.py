@@ -105,3 +105,13 @@ def test_driver_registry_contract():
     assert len(qs) <= 51, "51st+ entries silently fall off the driver gate"
     assert qs[-1] == "webpages_identity"
     assert set(E.bench_extra()).isdisjoint(qs)
+
+
+def test_asof_join_single_shuffle(spark):
+    """asof's contract: ONE hash exchange on the join key (the union
+    shuffle), then a sorted in-partition window pass — no second
+    exchange, no broadcast, no row-multiplying join."""
+    df = E.queries()["asof_events"](spark, SF)
+    plan = _plan(df)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:2000]
+    assert "Join" not in plan
