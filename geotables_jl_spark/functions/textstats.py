@@ -334,7 +334,7 @@ def _repetition_batch(texts):
     flat = list(itertools.chain.from_iterable(line_lists))
     if flat:
         doc = np.repeat(np.arange(n, dtype=np.int64), n_per)
-        codes, uniq = pd.factorize(pd.array(flat, dtype=object))
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
         lens = np.fromiter((len(u) for u in uniq), dtype=np.int64, count=len(uniq))
         out["line_chars"] = np.bincount(doc, weights=lens[codes], minlength=n).astype(np.int64)
         d_r, c_r, cnt = _runs(doc, codes)
@@ -354,7 +354,7 @@ def _repetition_batch(texts):
     wflat = list(itertools.chain.from_iterable(word_lists))
     if wflat:
         wdoc = np.repeat(np.arange(n, dtype=np.int64), n_w)
-        wcodes, wuniq = pd.factorize(pd.array(wflat, dtype=object))
+        wcodes, wuniq = pd.factorize(np.asarray(wflat, dtype=object))
         wlens = np.fromiter((len(u) for u in wuniq), dtype=np.int64, count=len(wuniq))
         out["word_chars"] = np.bincount(wdoc, weights=wlens[wcodes], minlength=n).astype(np.int64)
         d_r, c_r, cnt = _runs(wdoc, wcodes)
@@ -434,7 +434,7 @@ def _text_core_batch(texts, lang_words: dict[str, list[str]], quality_words: lis
             np.arange(n, dtype=np.int64),
             np.fromiter((len(ls) for ls in tok_lists), dtype=np.int64, count=n),
         )
-        codes, uniq = pd.factorize(pd.array(flat, dtype=object))
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
         low = np.array([u.lower() for u in uniq], dtype=object)
 
         def hits(words: list[str]) -> np.ndarray:

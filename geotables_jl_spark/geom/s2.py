@@ -466,7 +466,17 @@ def with_s2_cell(
     drop = 2 * (MAX_LEVEL - level)
     pos_l = F.shiftright(F.col(pre + "p"), drop)
     cell = base + F.shiftleft(pos_l, drop + 1) + F.lit(1 << drop).cast("long")
-    df = df.withColumn(out, F.when(face.isNull(), F.lit(None).cast("long")).otherwise(cell))
+    # NULL face (zero vector), NULL coords, and NaN coords all have no
+    # cell. Neither slips out on its own: a NULL/NaN coordinate still
+    # picks a face (NULL/NaN comparisons are falsy, so an otherwise-
+    # branch fires) and the ij clamp's greatest(NULL, 0) swallows the
+    # NULL into 0 — emitting a deterministic-garbage id without this.
+    bad = (
+        face.isNull()
+        | x.isNull() | y.isNull() | z.isNull()
+        | F.isnan(x) | F.isnan(y) | F.isnan(z)
+    )
+    df = df.withColumn(out, F.when(bad, F.lit(None).cast("long")).otherwise(cell))
     return df.drop(*[c for c in df.columns if c.startswith(pre)])
 
 
@@ -482,8 +492,9 @@ def with_s2_cell_arrow(
     (property-tested in tests/test_s2.py) at ~6× its per-row throughput —
     the codegen twin's ``aggregate()`` Hilbert fold is JVM-interpreted
     per row and its large expression tree costs seconds of variable
-    plan/JIT overhead per query. Zero-vector rows get NULL, matching the
-    column version. All input columns pass through."""
+    plan/JIT overhead per query. Zero-vector, NULL-coordinate, and
+    NaN-coordinate rows get NULL, matching the column version. All input
+    columns pass through."""
     if not 0 <= level <= MAX_LEVEL:
         raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
     import pandas as pd
@@ -497,7 +508,13 @@ def with_s2_cell_arrow(
             if len(pdf) == 0:
                 continue
             x, y, z = (pdf[c].to_numpy(dtype="float64") for c in (xc, yc, zc))
-            ok = (x != 0) | (y != 0) | (z != 0)
+            # NULL coords arrive as NaN through to_numpy and would pass a
+            # pure !=0 guard (NaN != 0 is True) into the LUT fold, yielding
+            # an arbitrary cell where the codegen twin yields NULL — mask
+            # non-finite rows too so the twins stay bit-identical
+            ok = ((x != 0) | (y != 0) | (z != 0)) & (
+                np.isfinite(x) & np.isfinite(y) & np.isfinite(z)
+            )
             cell = pd.array(s2_cell_from_xyz_np(x, y, z, level), dtype="Int64")
             if not ok.all():
                 cell[~ok] = None
@@ -544,8 +561,9 @@ def s2_cell_sql(source: str, x: str, y: str, z: str, level: int, out: str = "s2_
                 keep: list[str] | None = None) -> str:
     """Return a SELECT (chained CTEs) computing the same int64 cell id in
     ANSI SQL over ``source`` (a table/view/subquery name). ``x,y,z`` are
-    column/expression strings; rows with a zero major component are
-    dropped. ``keep`` lists pass-through columns."""
+    column/expression strings; rows with a zero major component or any
+    NaN coordinate are dropped (the column twins emit NULL for those).
+    ``keep`` lists pass-through columns."""
     if not 0 <= level <= MAX_LEVEL:
         raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
     keep_cols = ", ".join(keep) + "," if keep else ""
@@ -570,6 +588,8 @@ def s2_cell_sql(source: str, x: str, y: str, z: str, level: int, out: str = "s2_
                   THEN CASE WHEN abs(px) > abs(pz) THEN 0 ELSE 2 END
                   ELSE CASE WHEN abs(py) > abs(pz) THEN 1 ELSE 2 END END AS f0
       FROM __s2_in)) WHERE comp <> 0
+        AND px IS NOT NULL AND py IS NOT NULL AND pz IS NOT NULL
+        AND NOT (isnan(px) OR isnan(py) OR isnan(pz))
 )""", f"""__s2_uv AS (
   SELECT {keep_cols} face,
     CASE face WHEN 0 THEN py/px WHEN 1 THEN -px/py WHEN 2 THEN -px/pz

@@ -36,6 +36,8 @@ is the north rule's mandate, executed vectorized.
 
 from __future__ import annotations
 
+import uuid
+
 import numpy as np
 
 from geotables_jl_spark.geom import s2
@@ -57,6 +59,13 @@ class SphereIndex:
         self.x = np.ascontiguousarray(x[order])
         self.y = np.ascontiguousarray(y[order])
         self.z = np.ascontiguousarray(z[order])
+        # unique construction token for worker-side cover-index memo keys.
+        # id(self) is NOT usable: Python reuses addresses after gc, so a
+        # second broadcast directory allocated where a collected one lived
+        # would silently hit the old directory's cached CoverIndex slices.
+        # The token is minted once on the driver and pickles with the
+        # broadcast, so every worker sees the same value.
+        self.token = uuid.uuid4().hex
 
 
 class CoverIndex:
@@ -89,13 +98,16 @@ class CoverIndex:
 
 # worker-global cover-index memo (workers are reused across batches);
 # keyed per (chord, level) so the base round and its escalation stay
-# cached together.
-_CI_CACHE: dict = {"base_id": None, "by_key": {}}
+# cached together. Keyed by the index's construction TOKEN, never id():
+# a long-lived worker running a second s2_knn_join against a different
+# directory can see the new SphereIndex allocated at a gc-reused address.
+_CI_CACHE: dict = {"base_token": None, "by_key": {}}
 
 
 def _cover_index(base: SphereIndex, chord: float, level: int) -> CoverIndex:
-    if _CI_CACHE["base_id"] != id(base):
-        _CI_CACHE["base_id"] = id(base)
+    token = getattr(base, "token", None) or id(base)
+    if _CI_CACHE["base_token"] != token:
+        _CI_CACHE["base_token"] = token
         _CI_CACHE["by_key"] = {}
     key = (round(float(chord), 12), int(level))
     ci = _CI_CACHE["by_key"].get(key)

@@ -77,12 +77,20 @@ def asof_join(
         clash = sorted(set(out_names.values()) & set(left.columns))
         raise ValueError(f"suffixed right columns collide with left: {clash}")
 
-    r = right.select(
-        *[F.col(c) for c in on],
-        F.col(ts).alias(_TS),
-        (F.col(tie_col) if tie_col else F.lit(0)).alias(_TIE),
-        F.struct(*[F.col(c).alias(out_names[c]) for c in pay_cols]).alias(_PAY),
-    ).withColumn(_SIDE, F.lit(0))
+    # NULL-ts right rows can never be a valid "latest prior"/"earliest
+    # later" match, but under the window ordering they would sort to an
+    # end of the partition and leak their payload (pandas merge_asof
+    # rejects null keys outright; we drop them — same matches, no error).
+    r = (
+        right.filter(F.col(ts).isNotNull())
+        .select(
+            *[F.col(c) for c in on],
+            F.col(ts).alias(_TS),
+            (F.col(tie_col) if tie_col else F.lit(0)).alias(_TIE),
+            F.struct(*[F.col(c).alias(out_names[c]) for c in pay_cols]).alias(_PAY),
+        )
+        .withColumn(_SIDE, F.lit(0))
+    )
     l = (
         left.withColumn(_TS, F.col(ts))
         .withColumn(_SIDE, F.lit(1))
@@ -108,6 +116,10 @@ def asof_join(
         lts = F.col(ts).cast("double")
         gap = (lts - rts) if kind == "backward" else (rts - lts)
         pay = F.when(gap <= F.lit(float(tolerance_s)), pay)
+    # a NULL-ts left row has no as-of position: always a null match
+    # (without this, forward mode's "ts desc nulls last" ordering would
+    # hand such rows the minimum-ts right payload)
+    pay = F.when(F.col(ts).isNotNull(), pay)
 
     return matched.select(
         *[F.col(c) for c in left.columns],

@@ -155,3 +155,38 @@ def test_asof_validation(spark):
     clash = df.withColumn("t_r", F.lit(1))
     with pytest.raises(ValueError):
         asof_join(clash, df, on=["k"], ts="t")
+
+
+def test_asof_null_timestamps(spark):
+    """NULL-ts rows must never corrupt matches (pandas merge_asof rejects
+    null keys; we drop right nulls and null left-null matches):
+
+    - a NULL-ts RIGHT row would sort before every real row in backward
+      mode and leak its payload into left rows preceding any real match;
+    - a NULL-ts LEFT row in forward mode (ts desc, nulls last) would pick
+      up the minimum-ts right payload. Both must yield null matches.
+    """
+    left = spark.createDataFrame(
+        [(1, 5), (1, 20), (1, None), (2, None)], "k: long, t: long"
+    )
+    right = spark.createDataFrame(
+        [(1, None, -1.0), (1, 10, 100.0), (2, None, -2.0)],
+        "k: long, t: long, rv: double",
+    )
+    back = {
+        (r["k"], r["t"]): (r["t_r"], r["rv_r"])
+        for r in asof_join(left, right, on=["k"], ts="t").collect()
+    }
+    assert back[(1, 5)] == (None, None)  # must NOT see the null-ts payload
+    assert back[(1, 20)] == (10, 100.0)
+    assert back[(1, None)] == (None, None)
+    assert back[(2, None)] == (None, None)
+
+    fwd = {
+        (r["k"], r["t"]): (r["t_r"], r["rv_r"])
+        for r in asof_join(left, right, on=["k"], ts="t", kind="forward").collect()
+    }
+    assert fwd[(1, 5)] == (10, 100.0)
+    assert fwd[(1, 20)] == (None, None)
+    assert fwd[(1, None)] == (None, None)  # forward left-null leak guard
+    assert fwd[(2, None)] == (None, None)

@@ -170,3 +170,51 @@ def test_cap_cover_rigorous_with_disk_filter():
             cov[r].add(c)
         bad = [i for i in range(len(qq)) if qcell[i] not in cov[i]]
         assert not bad, (chord, lvl, bad[:5])
+
+
+def test_arrow_twin_nulls_nan_rows(spark):
+    """NULL/NaN coordinates must yield NULL cells in BOTH column twins
+    (and be dropped by the SQL twin). Neither degenerate input escapes
+    on its own: NULL/NaN comparisons are falsy so a face still gets
+    picked, and greatest(NULL, 0) swallows the NULL into ij=0 — the
+    pre-fix behavior was a deterministic-garbage id."""
+    pdf = pd.DataFrame(
+        {
+            "rid": [0, 1, 2, 3],
+            "x": [0.6, None, None, 0.0],
+            "y": [0.48, 0.3, 0.1, 0.0],
+            "z": [0.64, 0.2, 0.4, 0.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    # row 4: a genuine NaN double (createDataFrame(pandas) maps NaN->NULL,
+    # so mint one in-plan)
+    df = df.union(
+        spark.sql("SELECT 4L AS rid, CAST('NaN' AS DOUBLE) AS x, 0.1D AS y, 0.2D AS z")
+    )
+    got = {
+        r["rid"]: r["s2_cell"]
+        for r in s2.with_s2_cell_arrow(df, 12, xyz=("x", "y", "z")).collect()
+    }
+    want = {
+        r["rid"]: r["s2_cell"]
+        for r in s2.with_s2_cell(df, 12, xyz=("x", "y", "z")).collect()
+    }
+    assert got == want
+    assert [got[i] for i in (1, 2, 3, 4)] == [None] * 4
+    assert got[0] is not None
+    # latlon convenience path: NULL lat -> NULL cell
+    lldf = spark.sql("SELECT 1L AS rid, CAST(NULL AS DOUBLE) AS lat, 3.5D AS lon")
+    assert s2.with_s2_cell(lldf, 10, latlon=("lat", "lon")).collect()[0]["s2_cell"] is None
+    # SQL twin drops the degenerate rows instead
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame({
+        "rid": [0, 1, 2],
+        "x": [0.6, None, float("nan")],
+        "y": [0.48, 0.3, 0.1],
+        "z": [0.64, 0.2, 0.4],
+    }))
+    q = s2.s2_cell_sql("pts", "x", "y", "z", 12, keep=["rid"])
+    res = con.sql(q + " ORDER BY rid").df()
+    assert list(res["rid"]) == [0]
+    assert int(res["s2_cell"][0]) == got[0]

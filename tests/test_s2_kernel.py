@@ -179,3 +179,31 @@ def test_kernel_engine_requires_broadcast(spark):
     lp = s2_point_prep(left, "lid", xyz=("px", "py", "pz"))
     with pytest.raises(ValueError, match="broadcast_right"):
         s2_knn_join(lp, lp.withColumnRenamed("lid", "rid"), 1, n_right=3, engine="kernel")
+
+
+def test_cover_index_cache_keyed_by_token():
+    """The worker-global CoverIndex memo must key on the SphereIndex's
+    construction token, not id(): ids are reused after gc, which would
+    serve a new directory the OLD directory's cover slices."""
+    from geotables_jl_spark.geom import s2_knn_kernel as K
+
+    rng = np.random.default_rng(7)
+
+    def mk(n, seed):
+        r = np.random.default_rng(seed)
+        v = r.standard_normal((n, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        return SphereIndex(np.arange(n, dtype=np.int64), v[:, 0], v[:, 1], v[:, 2])
+
+    a = mk(50, 1)
+    b = mk(80, 2)
+    assert a.token != b.token
+    ci_a = K._cover_index(a, 0.1, 8)
+    assert K._CI_CACHE["base_token"] == a.token
+    ci_b = K._cover_index(b, 0.1, 8)
+    assert K._CI_CACHE["base_token"] == b.token
+    assert ci_b is not ci_a
+    # the stale entry for `a` was evicted; re-requesting rebuilds fresh
+    ci_a2 = K._cover_index(a, 0.1, 8)
+    assert ci_a2 is not ci_a
+    assert len(ci_a2.point_idx) == len(ci_a.point_idx)
