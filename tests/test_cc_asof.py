@@ -31,15 +31,18 @@ def _uf_components(edges):
     return {x: find(x) for x in parent}
 
 
-def test_cc_chain_and_islands(spark):
+@pytest.mark.parametrize("sgm", [1_000_000, 0], ids=["fastpath", "distributed"])
+def test_cc_chain_and_islands(spark, sgm):
     # a 40-node chain (worst case for plain label propagation: needs
     # pointer jumping to converge in O(log n)), two islands, dup/reversed
-    # edges and a self-loop
+    # edges and a self-loop; sgm=0 forces the distributed loop, the
+    # default takes the driver union-find fast path
     edges = [(i, i + 1) for i in range(100, 140)]
     edges += [(7, 3), (3, 9), (50, 51), (51, 50), (60, 60)]
     df = spark.createDataFrame(edges, "id_a: long, id_b: long")
     got = {
-        r["id"]: r["comp"] for r in connected_components(df, max_iter=12).collect()
+        r["id"]: r["comp"]
+        for r in connected_components(df, max_iter=12, small_graph_max=sgm).collect()
     }
     want = _uf_components([(u, v) for u, v in edges if u != v])
     assert got == want
@@ -58,6 +61,11 @@ def test_cc_random_graphs_vs_union_find(spark):
         df = spark.createDataFrame(edges, "id_a: long, id_b: long")
         got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
         assert got == _uf_components(edges)
+        forced = {
+            r["id"]: r["comp"]
+            for r in connected_components(df, small_graph_max=0).collect()
+        }
+        assert forced == got
 
 
 def test_dedup_clusters_matches_pairwise_closure(spark):
@@ -190,3 +198,69 @@ def test_asof_null_timestamps(spark):
     assert fwd[(1, 20)] == (None, None)
     assert fwd[(1, None)] == (None, None)  # forward left-null leak guard
     assert fwd[(2, None)] == (None, None)
+
+
+def _persisted_count(spark):
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return len(jmap.keySet().toArray())
+
+
+def test_cc_distributed_unpersists_superseded_rounds(spark):
+    """VERDICT r3 #1: the loop must free each superseded round's
+    localCheckpoint blocks — after the run at most ONE label snapshot
+    (the returned one) may remain pinned beyond the pre-run set."""
+    before = _persisted_count(spark)
+    edges = [(i, i + 1) for i in range(0, 300)]  # long chain -> many rounds
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    out = connected_components(df, small_graph_max=0)
+    n = out.count()
+    assert n == 301
+    after = _persisted_count(spark)
+    assert after <= before + 1, (before, after)
+    # fast path pins nothing at all
+    out2 = connected_components(df)
+    assert out2.count() == 301
+    assert _persisted_count(spark) <= before + 1
+
+
+def test_cc_parquet_round_files(spark, tmp_path):
+    """VERDICT r3 #5: with a checkpoint dir, rounds persist as parquet
+    files; intermediates are deleted as soon as their successor lands,
+    and the final file backs the returned DataFrame."""
+    import os
+
+    ckpt = str(tmp_path / "cc")
+    edges = [(i, i + 1) for i in range(0, 64)] + [(500, 501)]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    out = connected_components(df, small_graph_max=0, checkpoint_dir=ckpt)
+    got = {r["id"]: r["comp"] for r in out.collect()}
+    assert got == _uf_components(edges)
+    rounds = sorted(d for d in os.listdir(ckpt) if d.startswith("round_"))
+    assert len(rounds) == 1, rounds  # only the final round file survives
+    # the returned frame literally reads from that file
+    import pyspark.sql.functions as SF
+
+    re_read = spark.read.parquet(f"{ckpt}/{rounds[0]}")
+    assert re_read.count() == len(got)
+
+
+def test_cc_checkpoint_dir_autodetected(spark, tmp_path):
+    """sparkContext.setCheckpointDir engages the durable arm without an
+    explicit kwarg (and the repo never leaves the dir set)."""
+    import os
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "auto"))
+    try:
+        edges = [(1, 2), (2, 3), (9, 10)]
+        df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+        out = connected_components(df, small_graph_max=0)
+        assert {r["id"]: r["comp"] for r in out.collect()} == _uf_components(edges)
+        # getCheckpointDir returns a file: URI with a per-app uuid subdir
+        local = sc.getCheckpointDir().removeprefix("file:")
+        cc_dir = os.path.join(local, "cc_rounds")
+        assert os.path.isdir(cc_dir), cc_dir
+        assert any(d.startswith("round_") for d in os.listdir(cc_dir))
+    finally:
+        sc._jsc.sc().setCheckpointDir(None)
