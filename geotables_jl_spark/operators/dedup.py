@@ -188,6 +188,23 @@ def minhash_signatures(
     return h.groupBy("__id").agg(*aggs)
 
 
+def _explode_bucket_pairs(members: DataFrame) -> DataFrame:
+    """(band, bucket, __ids sorted array) → all (id_a, id_b) i<j pairs."""
+    return members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("__ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("__ids"), i + 2, F.size(F.col("__ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("__p")
+    ).select("__p.id_a", "__p.id_b")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -197,19 +214,46 @@ def minhash_lsh_pairs(
     bands: int = 16,
     verify: bool = True,
     shingle_n: int = 3,
+    pair_mode: str = "all",
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Near-dup pairs by MinHash + banded LSH, exact-Jaccard verified.
 
     bands × rows = num_perm; a pair lands in a bucket iff one band of
     their signatures agrees — P(candidate) = 1-(1-j^r)^b. Buckets are
-    (band_id, hash(band slice)) groups → pairs within buckets (sorted
-    collect, pairwise explode — bucket size is bounded because identical
-    band-slices imply near-identical docs; truly giant buckets are
-    exact-dup classes, which exact dedup removes first at scale).
+    (band_id, hash(band slice)) groups → pairs within buckets.
     ``verify`` recomputes exact shingle Jaccard on the candidates only.
+
+    ``pair_mode``:
+
+    - ``"all"`` (default): all B·(B-1)/2 pairs per bucket (sorted
+      collect, pairwise explode), EXCEPT buckets larger than
+      ``max_bucket``, which are reduced to STAR pairs — (min id, other)
+      for each other member — B-1 edges instead of B²/2. SAFETY-VALVE
+      CONTRACT of the default ``max_bucket=4096``: a mega-bucket means
+      >max_bucket docs agree on an entire signature band, i.e. a
+      mass-near-duplicate class (templated/parked/boilerplate pages
+      that survive byte-exact dedup); without the valve one such bucket
+      puts an unbounded id array in a single aggregation buffer and
+      emits O(B²) rows from one input row — an executor OOM before the
+      pair count even matters. The star reduction keeps every member
+      reachable from the bucket's hub, so the TRANSITIVE CLOSURE over
+      unverified candidates is unchanged; post-``verify`` closure can
+      only differ if a non-hub pair passes exact Jaccard while both
+      hub pairs fail — geometrically implausible inside one mega-dup
+      class, and the pairs themselves (vs the closure) lose the
+      non-hub combinations by design. ``max_bucket=None`` disables.
+    - ``"star"``: star pairs for EVERY bucket — the
+      :func:`connected_components` feed shape (Σ(B-1) instead of
+      ΣB²/2 edges, identical candidate closure). One
+      map-side-combinable groupBy (hub = min id per bucket) + one
+      equi-join back on the bucket key; no per-bucket array buffer
+      anywhere in the plan.
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
+    if pair_mode not in ("all", "star"):
+        raise ValueError("pair_mode must be 'all' or 'star'")
     rows = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
     band_structs = F.array(
@@ -227,23 +271,45 @@ def minhash_lsh_pairs(
         "__id", F.col("__bb.band").alias("__band"), F.col("__bb.bucket").alias("__bucket")
     )
 
-    members = banded.groupBy("__band", "__bucket").agg(
-        F.array_sort(F.collect_set("__id")).alias("__ids")
-    ).filter(F.size("__ids") > 1)
-    # pairwise explode within bucket: (i, j) i<j
-    pairs = members.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("__ids"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("__ids"), i + 2, F.size(F.col("__ids"))),
-                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                    ),
-                )
-            )
-        ).alias("__p")
-    ).select("__p.id_a", "__p.id_b").distinct()
+    if pair_mode == "star":
+        # hub = min id per bucket: map-side-combinable agg (constant
+        # buffer), then equi-join back — no collect of members at all.
+        hubs = (
+            banded.groupBy("__band", "__bucket")
+            .agg(F.min("__id").alias("__hub"), F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > 1)
+            .select("__band", "__bucket", "__hub")
+        )
+        pairs = (
+            banded.join(hubs, ["__band", "__bucket"])
+            .filter(F.col("__id") > F.col("__hub"))
+            .select(F.col("__hub").alias("id_a"), F.col("__id").alias("id_b"))
+            .distinct()
+        )
+    elif max_bucket is None:
+        members = banded.groupBy("__band", "__bucket").agg(
+            F.array_sort(F.collect_set("__id")).alias("__ids")
+        ).filter(F.size("__ids") > 1)
+        pairs = _explode_bucket_pairs(members).distinct()
+    else:
+        # two-pass: size every bucket first (count+min are constant-size
+        # map-combinable buffers) so mega-buckets never reach collect_set
+        stats = (
+            banded.groupBy("__band", "__bucket")
+            .agg(F.count(F.lit(1)).alias("__bsz"), F.min("__id").alias("__hub"))
+            .filter(F.col("__bsz") > 1)
+        )
+        tagged = banded.join(stats, ["__band", "__bucket"])
+        small = (
+            tagged.filter(F.col("__bsz") <= max_bucket)
+            .groupBy("__band", "__bucket")
+            .agg(F.array_sort(F.collect_set("__id")).alias("__ids"))
+        )
+        star = (
+            tagged.filter((F.col("__bsz") > max_bucket) & (F.col("__id") > F.col("__hub")))
+            .select(F.col("__hub").alias("id_a"), F.col("__id").alias("id_b"))
+        )
+        pairs = _explode_bucket_pairs(small).union(star).distinct()
 
     if not verify:
         return pairs
@@ -759,6 +825,8 @@ def dedup_clusters(
     shingle_n: int = 3,
     small_graph_max: int = 1_000_000,
     checkpoint_dir: str | None = None,
+    pair_mode: str = "star",
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Near-dup clusters: MinHash-LSH pairs → connected components.
 
@@ -768,12 +836,22 @@ def dedup_clusters(
     not emitted (singletons are the ~100% common case at scale; emitting
     them would dwarf the useful output).
 
+    ``pair_mode="star"`` is the DEFAULT here (vs ``"all"`` for the
+    pair-listing entry point): the closure step only needs connectivity,
+    and star pairs cut the CC edge set from ΣB²/2 to Σ(B-1) per bucket
+    with the identical candidate closure. The verified closure matches
+    all-pairs whenever each bucket member exact-verifies against the
+    bucket hub — the defining property of a genuine near-dup bucket —
+    and is pinned against the all-pairs arm on the fixtures in
+    tests/test_cc_asof.py. Pass ``pair_mode="all"`` for the literal
+    all-pairs-then-verify closure.
+
     ``small_graph_max`` / ``checkpoint_dir`` pass through to
     :func:`connected_components` (driver union-find fast path below the
     edge bound; durable parquet round files for long cluster runs)."""
     pairs = minhash_lsh_pairs(
         df, id_col, text_col, threshold=threshold, num_perm=num_perm,
-        bands=bands, shingle_n=shingle_n,
+        bands=bands, shingle_n=shingle_n, pair_mode=pair_mode, max_bucket=max_bucket,
     )
     comp = connected_components(
         pairs, small_graph_max=small_graph_max, checkpoint_dir=checkpoint_dir

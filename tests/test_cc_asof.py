@@ -264,3 +264,84 @@ def test_cc_checkpoint_dir_autodetected(spark, tmp_path):
         assert any(d.startswith("round_") for d in os.listdir(cc_dir))
     finally:
         sc._jsc.sc().setCheckpointDir(None)
+
+
+# ---------------------------------------------------------------------------
+# LSH pair_mode / max_bucket (VERDICT r3 tasks #2 and #7)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_clusters_star_matches_all_pairs_closure(spark):
+    """pair_mode='star' (the dedup_clusters default) yields the identical
+    verified transitive closure as the literal all-pairs arm."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    alt = "completely different content about spark shuffles and parquet files here"
+    rows = [
+        (1, base), (2, base + " x"), (3, base + " y"),
+        (10, alt), (11, alt + " z"),
+        (20, "a short unrelated sentence"), (21, "another unrelated one entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    kw = dict(threshold=0.5, shingle_n=2)
+    star = {tuple(r) for r in dedup_clusters(df, "doc_id", "text", pair_mode="star", **kw).collect()}
+    allp = {tuple(r) for r in dedup_clusters(df, "doc_id", "text", pair_mode="all", **kw).collect()}
+    assert star == allp
+    assert star == {(1, 1, 3), (2, 1, 3), (3, 1, 3), (10, 10, 2), (11, 10, 2)}
+
+
+def test_lsh_max_bucket_valve_on_10k_member_bucket(spark):
+    """A 10k-member band bucket (10k byte-identical docs ⇒ identical
+    signatures ⇒ one bucket per band) must NOT explode into ~5·10^7
+    pairs: the default max_bucket=4096 valve reduces it to star pairs —
+    exactly N-1 edges, all anchored at the hub (min id)."""
+    from geotables_jl_spark.operators.dedup import minhash_lsh_pairs
+
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta eta theta").alias("text"),
+    )
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", verify=False).collect()
+    assert len(pairs) == n - 1
+    assert {r["id_a"] for r in pairs} == {0}
+    assert {r["id_b"] for r in pairs} == set(range(1, n))
+
+
+def test_lsh_max_bucket_mixed_small_and_mega(spark):
+    """Buckets under max_bucket keep literal all-pairs; only oversize
+    buckets degrade to star — both classes in one run."""
+    from geotables_jl_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, "mass duplicate page template body content") for i in range(30)]
+    rows += [(100 + i, "tiny unique cluster of three docs") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", verify=False, max_bucket=10
+        ).collect()
+    }
+    mega = {(0, i) for i in range(1, 30)}  # star: hub 0 → 29 edges
+    small = {(100, 101), (100, 102), (101, 102)}  # all-pairs: 3 edges
+    assert got == mega | small
+
+
+def test_lsh_star_mode_plan_has_no_collect_set(spark):
+    """pair_mode='star' must never build a per-bucket member array —
+    the plan contains no ObjectHashAggregate/collect_set anywhere."""
+    from geotables_jl_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id: long, text: string"
+    )
+    out = minhash_lsh_pairs(df, "doc_id", "text", verify=False, pair_mode="star")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan and "ObjectHashAggregate" not in plan, plan[:2000]
+
+
+def test_lsh_pair_mode_validation(spark):
+    from geotables_jl_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="pair_mode"):
+        minhash_lsh_pairs(df, "doc_id", "text", pair_mode="hub")
