@@ -69,6 +69,7 @@ def main() -> None:
         times[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s", file=sys.stderr)
+        _clear_session_state(spark)
 
     host_post = _host_parallel_ratio()
 
@@ -94,6 +95,19 @@ def main() -> None:
         "host_par_ratio_4to16_post": host_post,
     }
     print(json.dumps(out))
+
+
+def _clear_session_state(spark) -> None:
+    """Reset shared-session state between queries so query N's number
+    never reflects query N-1's leftovers (VERDICT r3 'What's wrong' #3:
+    ngram_jaccard recorded 10.06 s in the shared session but reproduces
+    at 1.97 s isolated). Clears the SQL cache and unpersists any RDD a
+    query left pinned (e.g. checkpoint blocks) — each bench entry is an
+    independent job, so nothing legitimately spans two of them."""
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in jmap.keySet().toArray():
+        jmap[k].unpersist(False)
 
 
 def _host_parallel_ratio() -> float:

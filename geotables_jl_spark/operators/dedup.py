@@ -271,42 +271,35 @@ def minhash_lsh_pairs(
         "__id", F.col("__bb.band").alias("__band"), F.col("__bb.bucket").alias("__bucket")
     )
 
+    # hub (min id) and size per bucket via a PARTITIONED window rather
+    # than groupBy + join-back: one hash exchange on (band, bucket) and
+    # the expensive signature pipeline upstream is computed exactly ONCE
+    # (the join-back form re-ran shingle+64-perm hashing for each side).
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__band", "__bucket")
+    tagged = banded.withColumn("__hub", F.min("__id").over(w)).withColumn(
+        "__bsz", F.count(F.lit(1)).over(w)
+    ).filter(F.col("__bsz") > 1)
+
     if pair_mode == "star":
-        # hub = min id per bucket: map-side-combinable agg (constant
-        # buffer), then equi-join back — no collect of members at all.
-        hubs = (
-            banded.groupBy("__band", "__bucket")
-            .agg(F.min("__id").alias("__hub"), F.count(F.lit(1)).alias("__bsz"))
-            .filter(F.col("__bsz") > 1)
-            .select("__band", "__bucket", "__hub")
-        )
+        # no per-bucket member array anywhere in the plan
         pairs = (
-            banded.join(hubs, ["__band", "__bucket"])
-            .filter(F.col("__id") > F.col("__hub"))
+            tagged.filter(F.col("__id") > F.col("__hub"))
             .select(F.col("__hub").alias("id_a"), F.col("__id").alias("id_b"))
             .distinct()
         )
-    elif max_bucket is None:
-        members = banded.groupBy("__band", "__bucket").agg(
-            F.array_sort(F.collect_set("__id")).alias("__ids")
-        ).filter(F.size("__ids") > 1)
-        pairs = _explode_bucket_pairs(members).distinct()
     else:
-        # two-pass: size every bucket first (count+min are constant-size
-        # map-combinable buffers) so mega-buckets never reach collect_set
-        stats = (
-            banded.groupBy("__band", "__bucket")
-            .agg(F.count(F.lit(1)).alias("__bsz"), F.min("__id").alias("__hub"))
-            .filter(F.col("__bsz") > 1)
-        )
-        tagged = banded.join(stats, ["__band", "__bucket"])
+        cap = F.lit(max_bucket) if max_bucket is not None else F.col("__bsz")
+        # small buckets: groupBy on the window's own partition keys —
+        # Catalyst reuses the exchange, so collect_set adds no shuffle
         small = (
-            tagged.filter(F.col("__bsz") <= max_bucket)
+            tagged.filter(F.col("__bsz") <= cap)
             .groupBy("__band", "__bucket")
             .agg(F.array_sort(F.collect_set("__id")).alias("__ids"))
         )
         star = (
-            tagged.filter((F.col("__bsz") > max_bucket) & (F.col("__id") > F.col("__hub")))
+            tagged.filter((F.col("__bsz") > cap) & (F.col("__id") > F.col("__hub")))
             .select(F.col("__hub").alias("id_a"), F.col("__id").alias("id_b"))
         )
         pairs = _explode_bucket_pairs(small).union(star).distinct()
@@ -694,26 +687,37 @@ def connected_components(
     e = pairs.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
 
     spark = pairs.sparkSession
     sc = spark.sparkContext
 
+    # materialize the DIRECTED edge list first: the pair producer (LSH
+    # signatures + verify) is the expensive upstream, and both the
+    # symmetrized union below and the fast-path collect would otherwise
+    # re-run it once per branch
     before = _persistent_ids(sc)
-    sym = sym.localCheckpoint(eager=True)
-    sym_ids = _persistent_ids(sc) - before
-    n_edges = sym.count()
+    e = e.localCheckpoint(eager=True)
+    e_ids = _persistent_ids(sc) - before
+    n_edges = e.count()
 
     if small_graph_max and n_edges <= small_graph_max:
         # driver union-find fast path: the whole graph is two longs per
         # edge; below the bound, O(log d) Spark rounds are pure job
         # latency. Distributed arm still covered by forced-threshold
-        # tests (small_graph_max=0).
-        rows = sym.collect()
-        _unpersist_ids(sc, sym_ids)
+        # tests (small_graph_max=0). Union-find needs no symmetrized
+        # copy — collect the directed list as-is.
+        rows = e.collect()
+        _unpersist_ids(sc, e_ids)
         comp = _union_find((r["u"], r["v"]) for r in rows)
         out = sorted(comp.items())
         return spark.createDataFrame(out, "id long, comp long")
+
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    before = _persistent_ids(sc)
+    sym = sym.localCheckpoint(eager=True)
+    sym_ids = _persistent_ids(sc) - before
+    _unpersist_ids(sc, e_ids)
+    n_edges = 2 * n_edges
 
     if checkpoint_dir is None:
         checkpoint_dir = sc.getCheckpointDir()
