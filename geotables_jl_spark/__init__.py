@@ -19,7 +19,13 @@ handles pushdown/pruning/AQE; Python only runs inside Arrow-batched
 pandas UDFs (geometry refinement kernels).
 """
 
-from geotables_jl_spark.core.geotable import GeoTable, georef, georef_grid
+from geotables_jl_spark.core.geotable import (
+    GeoTable,
+    georef,
+    georef_grid,
+    georef_grid_nd,
+    grid_subset_nd,
+)
 from geotables_jl_spark.functions.crs import canonical_crs, parse_crs, reproject
 from geotables_jl_spark.operators.geojoin import geojoin, knn_join
 from geotables_jl_spark.operators.geojoin_s2 import s2_dwithin_join, s2_knn_join, s2_point_prep
@@ -35,6 +41,8 @@ __all__ = [
     "GeoTable",
     "georef",
     "georef_grid",
+    "georef_grid_nd",
+    "grid_subset_nd",
     "geojoin",
     "knn_join",
     "s2_point_prep",

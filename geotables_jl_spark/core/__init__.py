@@ -1,3 +1,3 @@
-from geotables_jl_spark.core.geotable import GeoTable, georef, georef_grid
+from geotables_jl_spark.core.geotable import GeoTable, georef, georef_grid, georef_grid_nd, grid_subset_nd
 
-__all__ = ["GeoTable", "georef", "georef_grid"]
+__all__ = ["GeoTable", "georef", "georef_grid", "georef_grid_nd", "grid_subset_nd"]

@@ -55,6 +55,23 @@ class GridMeta:
 
 
 @dataclass
+class GridMetaND:
+    """N-dimensional raster metadata (reference ``georef`` accepts
+    arbitrary N-d arrays flattened column-major, ``src/georef.jl:120-129``;
+    rank-3 volumes ``src/abstractgeotable.jl:33``).
+
+    cell id (0-based) = Σ_k i_k · Π_{m<k} dims[m] — Julia LinearIndices
+    order, axis 0 fastest. The 2-D :class:`GridMeta` stays the raster
+    type for the xy-grid operators (view/box windows); this one backs
+    :func:`georef_grid_nd` / :func:`grid_subset_nd`.
+    """
+
+    dims: tuple[int, ...]
+    origin: tuple[float, ...]
+    spacing: tuple[float, ...]
+
+
+@dataclass
 class GeoTable:
     """A Spark DataFrame where every row is (attributes..., geometry).
 
@@ -66,7 +83,7 @@ class GeoTable:
     df: DataFrame
     crs: str = "Cartesian"
     lenunit: str | None = None
-    grid: GridMeta | None = None
+    grid: GridMeta | GridMetaND | None = None
     units: dict[str, str] = field(default_factory=dict)
     # rank-0 (vertex) attribute table, keyed (row_id, vertex_id) —
     # reference multi-rank values Dict{Int,table} (src/geotable.jl:34-37,
@@ -346,8 +363,8 @@ def grid_view_box(gtb: GeoTable, x0: float, y0: float, x1: float, y1: float) -> 
     touch counts, as in the reference result). Pure index arithmetic on
     the driver + the grid_subset predicate; the lazy grid relation never
     materializes cells outside the window."""
-    if gtb.grid is None:
-        raise ValueError("grid_view_box requires a grid-domained geotable")
+    if not isinstance(gtb.grid, GridMeta):
+        raise ValueError("grid_view_box requires a 2-D grid-domained geotable")
     import math
 
     g = gtb.grid
@@ -365,8 +382,10 @@ def grid_subset(gtb: GeoTable, i0: int, i1: int, j0: int, j1: int) -> GeoTable:
     still a raster (reference ``src/api/geotables.jl:19-62``). Pure
     predicate on the computed (i, j); Catalyst folds it into the range scan.
     """
-    if gtb.grid is None:
-        raise ValueError("grid_subset requires a grid-domained geotable")
+    if not isinstance(gtb.grid, GridMeta):
+        raise ValueError(
+            "grid_subset requires a 2-D grid-domained geotable (use grid_subset_nd for N-d)"
+        )
     g = gtb.grid
     df = gtb.df.filter(
         (F.col("i") >= i0) & (F.col("i") <= i1) & (F.col("j") >= j0) & (F.col("j") <= j1)
@@ -380,3 +399,112 @@ def grid_subset(gtb: GeoTable, i0: int, i1: int, j0: int, j1: int) -> GeoTable:
         sy=g.sy,
     )
     return GeoTable(df=df, crs=gtb.crs, lenunit=gtb.lenunit, grid=sub, units=dict(gtb.units), kind_hint=gtb.kind_hint)
+
+
+def georef_grid_nd(
+    spark: SparkSession,
+    dims: tuple[int, ...],
+    origin: tuple[float, ...] | None = None,
+    spacing: tuple[float, ...] | None = None,
+    values: DataFrame | None = None,
+    value_cols: list[str] | None = None,
+    crs: str = "Cartesian",
+) -> GeoTable:
+    """Lazy N-dimensional CartesianGrid relation (reference flattens
+    arbitrary N-d arrays column-major, ``src/georef.jl:120-129``; rank-3
+    volumes ``src/abstractgeotable.jl:33``).
+
+    ``spark.range(∏dims)`` + generator expressions: cell id is the
+    column-major linear index (axis 0 fastest — Julia LinearIndices),
+    ``i{k} = (id ÷ ∏dims[:k]) mod dims[k]``; per-axis cell lower bounds
+    land in ``x{k} = origin[k] + i{k}·spacing[k]``. The ``geometry``
+    column is the axes-(0,1) FOOTPRINT box (the xy slice of the N-d
+    cell) so every planar operator works unchanged; axes ≥2 are carried
+    as the ``i{k}``/``x{k}`` columns — predicates over them are ordinary
+    column filters that Catalyst folds into the range scan. O(1) driver
+    state, any size.
+
+    ``values``: optional attribute table with a ``cell_id`` column of
+    column-major linear ids to zip onto the grid (the reference's
+    ``georef(namedtuple, grid)`` array flattening).
+    """
+    nd = len(dims)
+    if nd < 1 or any(d < 1 for d in dims):
+        raise ValueError(f"dims must be a non-empty tuple of positive ints, got {dims!r}")
+    origin = tuple(float(v) for v in origin) if origin is not None else (0.0,) * nd
+    spacing = tuple(float(v) for v in spacing) if spacing is not None else (1.0,) * nd
+    if len(origin) != nd or len(spacing) != nd:
+        raise ValueError("origin/spacing must match len(dims)")
+    total = 1
+    for d in dims:
+        total *= d
+    df = spark.range(total).withColumnRenamed("id", ROW_ID)
+    stride = 1
+    for k, d in enumerate(dims):
+        df = df.withColumn(
+            f"i{k}", ((F.col(ROW_ID) / F.lit(stride)).cast("long") % F.lit(int(d)))
+        )
+        stride *= d
+    for k in range(nd):
+        df = df.withColumn(
+            f"x{k}",
+            F.lit(origin[k]) + F.col(f"i{k}").cast("double") * F.lit(spacing[k]),
+        )
+    if nd >= 2:
+        df = df.withColumn(
+            GEOM,
+            st_box(
+                F.col("x0"),
+                F.col("x1"),
+                F.col("x0") + F.lit(spacing[0]),
+                F.col("x1") + F.lit(spacing[1]),
+            ),
+        )
+    else:
+        # 1-D grid: degenerate boxes on the x axis (segments)
+        df = df.withColumn(
+            GEOM, st_box(F.col("x0"), F.lit(0.0), F.col("x0") + F.lit(spacing[0]), F.lit(0.0))
+        )
+    if values is not None:
+        vcols = value_cols or [c for c in values.columns if c != "cell_id"]
+        df = df.join(values.select(F.col("cell_id").alias(ROW_ID), *vcols), on=ROW_ID, how="left")
+    order = [ROW_ID] + [c for c in df.columns if c not in (ROW_ID, GEOM)] + [GEOM]
+    return GeoTable(
+        df=df.select(*order),
+        crs=_canon_crs(crs),
+        kind_hint="box",
+        grid=GridMetaND(dims=tuple(dims), origin=origin, spacing=spacing),
+    )
+
+
+def grid_subset_nd(gtb: GeoTable, ranges) -> GeoTable:
+    """Grid-preserving Cartesian indexing ``gtb[(r0, r1, ..., rN-1)]`` on
+    an N-d grid — result is still a raster with shifted origin, matching
+    the reference's Cartesian-range views on N-d grid domains
+    (``src/api/geotables.jl:19-62``). ``ranges`` is one inclusive
+    ``(lo, hi)`` 0-based pair per axis. Pure per-axis predicates on the
+    computed ``i{k}``; Catalyst folds them into the range scan."""
+    if not isinstance(gtb.grid, GridMetaND):
+        raise ValueError("grid_subset_nd requires an N-d grid-domained geotable")
+    g = gtb.grid
+    ranges = [tuple(r) for r in ranges]
+    if len(ranges) != len(g.dims):
+        raise ValueError(f"expected {len(g.dims)} ranges, got {len(ranges)}")
+    cond = F.lit(True)
+    for k, ((lo, hi), d) in enumerate(zip(ranges, g.dims)):
+        if not (0 <= lo <= hi < d):
+            raise ValueError(f"axis {k}: range ({lo}, {hi}) out of bounds for dim {d}")
+        cond = cond & (F.col(f"i{k}") >= lo) & (F.col(f"i{k}") <= hi)
+    sub = GridMetaND(
+        dims=tuple(hi - lo + 1 for lo, hi in ranges),
+        origin=tuple(g.origin[k] + ranges[k][0] * g.spacing[k] for k in range(len(g.dims))),
+        spacing=g.spacing,
+    )
+    return GeoTable(
+        df=gtb.df.filter(cond),
+        crs=gtb.crs,
+        lenunit=gtb.lenunit,
+        grid=sub,
+        units=dict(gtb.units),
+        kind_hint=gtb.kind_hint,
+    )
