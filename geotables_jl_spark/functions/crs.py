@@ -391,9 +391,17 @@ def parse_crs(spec: str) -> CRSDef:
         if _pyproj() is not None:
             _pyproj_crs(name)  # raises ValueError on a bogus code
             return CRSDef(name, None, None)
+        from geotables_jl_spark.functions.crs_vendored import vendored_transformer
+
+        if vendored_transformer(name) is not None:
+            # vendored pure-numpy long tail (e.g. EPSG:27700): same opaque
+            # CRSDef shape as the pyproj arm — reproject() routes both
+            # through the Arrow vertex kernel
+            return CRSDef(name, None, None)
         raise ValueError(
             f"unregistered {auth.upper()} code: {code} (no closed form in the "
-            "registry; install pyproj to enable the long-tail fallback)"
+            "registry and not vendored; install pyproj to enable the full "
+            "long-tail fallback)"
         )
     raise ValueError(f"unrecognized CRS spec: {spec!r}")
 
@@ -526,6 +534,15 @@ def transform_geometry_vertexwise(df, make_txy):
     return df.mapInPandas(fn, schema=schema)
 
 
+def _reproject_longtail(gtb: GeoTable, src: CRSDef, dst: CRSDef) -> GeoTable:
+    """CRS pairs without a registered closed form: pyproj when installed
+    (full long tail), else the vendored pure-numpy registry
+    (``crs_vendored``) — both through the same Arrow vertex kernel."""
+    if _pyproj() is not None:
+        return _reproject_pyproj(gtb, src, dst)
+    return _reproject_vendored(gtb, src, dst)
+
+
 def _reproject_pyproj(gtb: GeoTable, src: CRSDef, dst: CRSDef) -> GeoTable:
     sspec, dspec = _pyproj_spec(src), _pyproj_spec(dst)
     if sspec is None or dspec is None:
@@ -548,6 +565,38 @@ def _reproject_pyproj(gtb: GeoTable, src: CRSDef, dst: CRSDef) -> GeoTable:
     return GeoTable(df=out, crs=dst.name, lenunit=gtb.lenunit, grid=gtb.grid, units=dict(gtb.units), kind_hint=kh)
 
 
+def _reproject_vendored(gtb: GeoTable, src: CRSDef, dst: CRSDef) -> GeoTable:
+    """pyproj-free long tail: hop through LatLon. The vendored side runs
+    its numpy transformer in the Arrow vertex kernel; a closed-form side
+    keeps the registry's codegen column path. Supports any pair where
+    each side is either closed-form or vendored."""
+    from geotables_jl_spark.functions.crs_vendored import vendored_transformer
+
+    vsrc = vendored_transformer(src.name)
+    vdst = vendored_transformer(dst.name)
+    if (src.to_ll is None and vsrc is None) or (dst.from_ll is None and vdst is None):
+        raise ValueError(
+            f"no CRS transform registered for ({src.name}, {dst.name}) "
+            "and pyproj is not installed"
+        )
+    kh = gtb.kind_hint if gtb.kind_hint == "point" else None
+    # hop 1: src -> LatLon
+    if vsrc is not None:
+        mid_df = transform_geometry_vertexwise(gtb.df, lambda: vsrc.inverse)
+        mid = GeoTable(df=mid_df, crs="LatLon", lenunit=gtb.lenunit, grid=gtb.grid, units=dict(gtb.units), kind_hint=kh)
+    elif src.name == "LatLon":
+        mid = gtb
+    else:
+        mid = reproject(gtb, "LatLon")
+    # hop 2: LatLon -> dst
+    if vdst is not None:
+        out = transform_geometry_vertexwise(mid.df, lambda: vdst.forward)
+        return GeoTable(df=out, crs=dst.name, lenunit=gtb.lenunit, grid=gtb.grid, units=dict(gtb.units), kind_hint=kh)
+    if dst.name == "LatLon":
+        return mid
+    return reproject(mid, dst.name)
+
+
 def reproject(gtb: GeoTable, target_crs: str) -> GeoTable:
     """Reproject a GeoTable into ``target_crs`` (any registered spec).
     Point geometries transform exactly; polygon rings vertex-wise via
@@ -561,7 +610,7 @@ def reproject(gtb: GeoTable, target_crs: str) -> GeoTable:
             return gtb
         return GeoTable(df=gtb.df, crs=dst.name, lenunit=gtb.lenunit, grid=gtb.grid, units=dict(gtb.units), kind_hint=gtb.kind_hint)
     if src.to_ll is None or dst.from_ll is None:
-        return _reproject_pyproj(gtb, src, dst)
+        return _reproject_longtail(gtb, src, dst)
     fn = _point_xy_transform(src, dst)
     g = F.col(GEOM)
     nx, ny = fn(g["x"], g["y"])
