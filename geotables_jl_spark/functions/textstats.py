@@ -13,6 +13,8 @@ Python, no UDF.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -178,6 +180,10 @@ def shingles(text: Column, n: int = 3) -> Column:
     transform over a 0..len-n sequence + slice + concat_ws — JVM only.
     Documents shorter than n tokens produce their full token string as a
     single shingle (so short docs still participate).
+
+    This is the SQL-oracle reference form; the dedup hot paths call
+    :func:`shingles_fast`, whose bit-parity with this expression is
+    property-pinned in tests/test_textcore.py.
     """
     toks = tokens(text)
     cnt = F.size(toks)
@@ -186,6 +192,46 @@ def shingles(text: Column, n: int = 3) -> Column:
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return F.array_distinct(grams)
+
+
+# Java regex \s (ASCII-only): the exact class Spark's split("\\s+") uses
+_JAVA_WS = None  # compiled lazily inside the UDF (workers import fresh)
+
+
+def shingles_fast(text: Column, n: int = 3) -> Column:
+    """Arrow twin of :func:`shingles` — bit-identical output, built for
+    the hot path. The JVM form's transform/slice/concat_ws lambdas are
+    INTERPRETED per shingle (~75k shingles/s/core measured at sf0.1 —
+    the dominant cost of every MinHash/Jaccard/SimHash query); this one
+    is plain Python string ops over Arrow batches. Parity contract
+    (pinned in tests/test_textcore.py): trim strips ASCII spaces only,
+    split uses Java's ASCII ``\\s+`` with limit -1 (leading/trailing
+    empty tokens kept exactly as Spark's ``split`` keeps them), short
+    docs yield their full token string, first-occurrence-order dedup."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    nn = int(n)
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _sh(s: pd.Series) -> pd.Series:
+        import re
+
+        ws = re.compile(r"[ \t\n\x0B\f\r]+")
+        out = []
+        for t in s:
+            if t is None:
+                # JVM parity: trim/split of NULL is NULL, size(NULL)=-1 →
+                # one sequence slot, concat_ws over a NULL array is '' —
+                # so shingles(NULL) is [''] (NOT NULL)
+                out.append([""])
+                continue
+            toks = ws.split(t.strip(" "))
+            m = max(len(toks) - (nn - 1), 1)
+            out.append(list(dict.fromkeys(" ".join(toks[i : i + nn]) for i in range(m))))
+        return pd.Series(out)
+
+    return _sh(text)
 
 
 # ---------------------------------------------------------------------------

@@ -28,7 +28,12 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from geotables_jl_spark.functions.textstats import fingerprint, fingerprint_fast, shingles
+from geotables_jl_spark.functions.textstats import (
+    fingerprint,
+    fingerprint_fast,
+    shingles,
+    shingles_fast,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -67,7 +72,7 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     return df.select(
-        F.col(id_col).alias("__id"), F.explode(shingles(F.col(text_col), n)).alias("__sh")
+        F.col(id_col).alias("__id"), F.explode(shingles_fast(F.col(text_col), n)).alias("__sh")
     )
 
 
@@ -177,7 +182,7 @@ def minhash_signatures(
     ops; the only shuffle is the partial-aggregated groupBy."""
     sh = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+        F.explode(shingles_fast(F.col(text_col), shingle_n)).alias("__sh"),
     )
     h = sh.withColumn("__h", F.pmod(F.xxhash64("__sh"), F.lit(_MINHASH_P)))
     consts = _perm_constants(num_perm)
@@ -306,7 +311,7 @@ def minhash_lsh_pairs(
 
     if not verify:
         return pairs
-    texts = df.select(F.col(id_col).alias("__vid"), shingles(F.col(text_col), shingle_n).alias("__sh"))
+    texts = df.select(F.col(id_col).alias("__vid"), shingles_fast(F.col(text_col), shingle_n).alias("__sh"))
     ta = texts.select(F.col("__vid").alias("id_a"), F.col("__sh").alias("__sha"))
     tb = texts.select(F.col("__vid").alias("id_b"), F.col("__sh").alias("__shb"))
     out = (
@@ -358,7 +363,7 @@ def simhash_signatures(
     nbits = _sim_nbits(hash_fn)
     sh = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+        F.explode(shingles_fast(F.col(text_col), shingle_n)).alias("__sh"),
     )
     if hash_fn == "xxhash64":
         h = sh.withColumn("__h", F.xxhash64("__sh"))

@@ -117,3 +117,35 @@ def test_driver_tails_match_column_twins(spark):
     import pandas as pd
 
     pd.testing.assert_frame_equal(ref, got, check_exact=True)
+
+
+def test_shingles_fast_bit_parity_with_jvm(spark):
+    """shingles_fast (Arrow twin, the dedup hot path) must be
+    bit-identical to the JVM expression form `shingles` — including the
+    Spark edge semantics: trim strips ASCII spaces only, split keeps
+    leading/trailing empty tokens, NULL text yields [''] (concat_ws over
+    a NULL array), short docs yield their full token string, dedup keeps
+    first-occurrence order."""
+    cases = [
+        "the quick brown fox jumps over the lazy dog",
+        "a b", "a", "", " ", "   ", None,
+        "  leading and trailing  ", "tab\tsep", "line\nbreak",
+        "\t lead", "trail \t", "multi   space", "a b c d e f g",
+        "\x0b vert", "\r\n crlf mix \r", "ümlaut wörds hëre",
+        "dup dup dup dup", "x " * 300,
+        "nbsp is not java ws",  # java \s is ASCII-only
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "id long, t string"
+    )
+    for n in (2, 3, 5):
+        a = {r["id"]: r["s"] for r in df.select("id", TS.shingles(F.col("t"), n).alias("s")).collect()}
+        b = {r["id"]: r["s"] for r in df.select("id", TS.shingles_fast(F.col("t"), n).alias("s")).collect()}
+        assert a == b, {i: (cases[i], a[i], b[i]) for i in a if a[i] != b[i]}
+
+
+def test_shingles_fast_parity_on_documents_fixture(spark):
+    doc = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r["doc_id"]: r["s"] for r in doc.select("doc_id", TS.shingles(F.col("text"), 3).alias("s")).collect()}
+    b = {r["doc_id"]: r["s"] for r in doc.select("doc_id", TS.shingles_fast(F.col("text"), 3).alias("s")).collect()}
+    assert a == b

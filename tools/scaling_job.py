@@ -150,6 +150,36 @@ def run_asof(spark, input_dir: str) -> dict:
     return {"job": "asof_join", "rows": n_rows, "sec": round(dt, 3)}
 
 
+def run_dedup_lsh(spark, input_dir: str) -> dict:
+    """Webtext-payload flagship: MinHash-LSH near-dup candidate pairs
+    (star mode — the dedup_clusters edge feed) over the page table.
+    Text is synthesized from row_id with pure column math (identical
+    bytes at every parallelism level; ~18 words from a 64-word
+    vocabulary), with every 10th row collapsed onto a template id so
+    LSH has real near-dup buckets to find. Exercises the full
+    shingle → xxhash64 → 64-permutation → band-bucket window pipeline —
+    one wide map stage plus the (band, bucket) exchange."""
+    from geotables_jl_spark.operators.dedup import minhash_lsh_pairs
+
+    pages = spark.read.parquet(input_dir).select("row_id")
+    # near-dup classes: rows ≡0 (mod 10) share a template (row_id // 100)
+    base = F.when(
+        F.col("row_id") % 10 == 0, (F.col("row_id") / 100).cast("long") * 100
+    ).otherwise(F.col("row_id"))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(17)),
+        lambda i: F.concat(F.lit("w"), ((base * 31 + i * 7919) % 64).cast("string")),
+    )
+    docs = pages.select("row_id", F.concat_ws(" ", words).alias("text"))
+    n_rows = docs.count()
+    t0 = time.perf_counter()
+    minhash_lsh_pairs(
+        docs, "row_id", "text", verify=False, pair_mode="star"
+    ).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    return {"job": "dedup_lsh", "rows": n_rows, "sec": round(dt, 3)}
+
+
 def main() -> None:
     cpus = int(sys.argv[1])
     input_dir = sys.argv[2]
@@ -177,6 +207,7 @@ def main() -> None:
         "geojoin_knn": (run_knn, (spark, input_dir, sf_dir)),
         "s2_knn": (run_s2_knn, (spark, input_dir, sf_dir)),
         "asof_join": (run_asof, (spark, input_dir)),
+        "dedup_lsh": (run_dedup_lsh, (spark, input_dir)),
     }
     only = os.environ.get("SPARK_GRAFT_SCALING_JOBS")
     # default = the north-rule join jobs; extras (asof_join) run only
