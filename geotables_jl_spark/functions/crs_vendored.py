@@ -62,6 +62,8 @@ def _xyz_to_geodetic(x, y, z, a: float, b: float):
     lon = np.arctan2(y, x)
     p = np.hypot(x, y)
     lat = np.arctan2(z, p * (1.0 - e2))
+    if np.size(lat) == 0:  # empty ring/batch: np.max would raise
+        return lon, lat
     for _ in range(100):
         s = np.sin(lat)
         nu = a / np.sqrt(1.0 - e2 * s * s)
@@ -144,7 +146,7 @@ def osgb36_tm_inverse(E, N):
     aF0 = AIRY_A * _NG_F0
     phi = (np.asarray(N, dtype=np.float64) - _NG_N0) / aF0 + _NG_PHI0
     M = _ng_meridional_arc(phi)
-    while np.max(np.abs(N - _NG_N0 - M)) >= 1e-5:  # 0.01 mm (guide's bound)
+    while np.size(phi) and np.max(np.abs(N - _NG_N0 - M)) >= 1e-5:  # 0.01 mm (guide's bound)
         phi = phi + (N - _NG_N0 - M) / aF0
         M = _ng_meridional_arc(phi)
     s = np.sin(phi)

@@ -194,10 +194,6 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-# Java regex \s (ASCII-only): the exact class Spark's split("\\s+") uses
-_JAVA_WS = None  # compiled lazily inside the UDF (workers import fresh)
-
-
 def shingles_fast(text: Column, n: int = 3) -> Column:
     """Arrow twin of :func:`shingles` — bit-identical output, built for
     the hot path. The JVM form's transform/slice/concat_ws lambdas are
@@ -213,11 +209,13 @@ def shingles_fast(text: Column, n: int = 3) -> Column:
 
     nn = int(n)
 
+    java_ws = _JAVA_WS  # captured by value: one whitespace class, three kernels
+
     @pandas_udf(T.ArrayType(T.StringType()))
     def _sh(s: pd.Series) -> pd.Series:
         import re
 
-        ws = re.compile(r"[ \t\n\x0B\f\r]+")
+        ws = re.compile(java_ws)
         out = []
         for t in s:
             if t is None:

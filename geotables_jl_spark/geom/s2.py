@@ -466,15 +466,21 @@ def with_s2_cell(
     drop = 2 * (MAX_LEVEL - level)
     pos_l = F.shiftright(F.col(pre + "p"), drop)
     cell = base + F.shiftleft(pos_l, drop + 1) + F.lit(1 << drop).cast("long")
-    # NULL face (zero vector), NULL coords, and NaN coords all have no
-    # cell. Neither slips out on its own: a NULL/NaN coordinate still
-    # picks a face (NULL/NaN comparisons are falsy, so an otherwise-
-    # branch fires) and the ij clamp's greatest(NULL, 0) swallows the
-    # NULL into 0 — emitting a deterministic-garbage id without this.
+    # NULL face (zero vector), NULL coords, and non-finite coords all
+    # have no cell. Neither slips out on its own: a NULL/NaN coordinate
+    # still picks a face (NULL/NaN comparisons are falsy, so an
+    # otherwise-branch fires) and the ij clamp's greatest(NULL, 0)
+    # swallows the NULL into 0 — emitting a deterministic-garbage id
+    # without this. ±Inf must be masked here too: abs(inf) comparisons
+    # are TRUE, so an infinite coordinate picks a real face and clamps
+    # to a valid-looking edge cell, while the Arrow twin's isfinite
+    # mask yields NULL — the bit-parity contract requires NULL on both.
+    inf = F.lit(float("inf"))
     bad = (
         face.isNull()
         | x.isNull() | y.isNull() | z.isNull()
         | F.isnan(x) | F.isnan(y) | F.isnan(z)
+        | (F.abs(x) == inf) | (F.abs(y) == inf) | (F.abs(z) == inf)
     )
     df = df.withColumn(out, F.when(bad, F.lit(None).cast("long")).otherwise(cell))
     return df.drop(*[c for c in df.columns if c.startswith(pre)])

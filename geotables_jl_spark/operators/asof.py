@@ -39,6 +39,21 @@ _PAY = "__asof_pay"
 _TIE = "__asof_tie"
 
 
+def _ts_valid(df: DataFrame, ts: str):
+    """Predicate: ``ts`` is a usable as-of position. NULL never is; for
+    float/double ts columns NaN isn't either (it passes ``isNotNull``
+    and Spark orders NaN GREATER than every double, so an unfiltered
+    NaN right row would sort to the probe end of the window and leak
+    its payload — the same class of corruption as NULL, which pandas
+    ``merge_asof`` likewise rejects at the door)."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    c = F.col(ts)
+    if isinstance(df.schema[ts].dataType, (DoubleType, FloatType)):
+        return c.isNotNull() & ~F.isnan(c)
+    return c.isNotNull()
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -77,12 +92,13 @@ def asof_join(
         clash = sorted(set(out_names.values()) & set(left.columns))
         raise ValueError(f"suffixed right columns collide with left: {clash}")
 
-    # NULL-ts right rows can never be a valid "latest prior"/"earliest
-    # later" match, but under the window ordering they would sort to an
-    # end of the partition and leak their payload (pandas merge_asof
-    # rejects null keys outright; we drop them — same matches, no error).
+    # NULL-ts (and for float ts, NaN-ts) right rows can never be a valid
+    # "latest prior"/"earliest later" match, but under the window
+    # ordering they would sort to an end of the partition and leak their
+    # payload (pandas merge_asof rejects null keys outright; we drop
+    # them — same matches, no error).
     r = (
-        right.filter(F.col(ts).isNotNull())
+        right.filter(_ts_valid(right, ts))
         .select(
             *[F.col(c) for c in on],
             F.col(ts).alias(_TS),
@@ -116,10 +132,12 @@ def asof_join(
         lts = F.col(ts).cast("double")
         gap = (lts - rts) if kind == "backward" else (rts - lts)
         pay = F.when(gap <= F.lit(float(tolerance_s)), pay)
-    # a NULL-ts left row has no as-of position: always a null match
-    # (without this, forward mode's "ts desc nulls last" ordering would
-    # hand such rows the minimum-ts right payload)
-    pay = F.when(F.col(ts).isNotNull(), pay)
+    # a NULL-ts (or float NaN-ts) left row has no as-of position: always
+    # a null match (without this, forward mode's "ts desc nulls last"
+    # ordering would hand such rows the minimum-ts right payload, and a
+    # NaN left ts — ordered greater than every double — would vacuum up
+    # the max-ts payload in backward mode)
+    pay = F.when(_ts_valid(left, ts), pay)
 
     return matched.select(
         *[F.col(c) for c in left.columns],

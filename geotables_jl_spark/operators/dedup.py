@@ -628,6 +628,15 @@ def _union_find(edges) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+def _fs_delete(spark, path: str) -> None:
+    """Recursively delete ``path`` via the Hadoop FS API (works for any
+    scheme the session can write — local, HDFS, object stores)."""
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.sc().hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(hconf).delete(p, True)
+
+
 def _persistent_ids(sc) -> set[int]:
     jmap = sc._jsc.getPersistentRDDs()
     return {int(k) for k in jmap.keySet().toArray()}
@@ -681,13 +690,17 @@ def connected_components(
     distributed loop.
 
     ``checkpoint_dir`` (or an already-set
-    ``sparkContext.setCheckpointDir``): rounds are persisted as PARQUET
-    ROUND FILES under the directory instead of executor-memory local
-    checkpoints — the durable variant for long cluster runs where
-    executor loss would invalidate localCheckpoint blocks (same
+    ``sparkContext.setCheckpointDir``): the edge set AND every round's
+    labels are persisted as PARQUET FILES under a per-call unique run
+    subdirectory (``<dir>/run_<token>`` — two calls, sequential or
+    concurrent, never clobber each other's files) instead of
+    executor-memory local checkpoints — the durable variant for long
+    cluster runs, where a lost executor invalidates localCheckpoint
+    blocks but a task retry can always re-read parquet (same
     manifest-style hook the pipeline layer uses). Each round's file
-    replaces the previous one; the final round's file backs the
-    returned DataFrame and is the caller's to delete.
+    replaces the previous one; on failure the whole run directory is
+    removed; on success only the final round's file survives — it backs
+    the returned DataFrame and is the caller's to delete.
     """
     e = pairs.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -696,13 +709,39 @@ def connected_components(
     spark = pairs.sparkSession
     sc = spark.sparkContext
 
+    # resolve durability FIRST: it decides how every intermediate below
+    # is materialized — parquet files a task retry can always re-read,
+    # vs executor-memory localCheckpoint blocks that die with their host
+    if checkpoint_dir is None:
+        checkpoint_dir = sc.getCheckpointDir()
+        if checkpoint_dir is not None:
+            checkpoint_dir = checkpoint_dir.rstrip("/") + "/cc_rounds"
+    run_dir = None
+    if checkpoint_dir is not None:
+        # per-call unique run directory: fixed round paths under a
+        # shared checkpoint dir would let a second call overwrite (and
+        # its predecessor-cleanup delete) the parquet backing the first
+        # call's still-lazy returned DataFrame
+        import uuid
+
+        run_dir = checkpoint_dir.rstrip("/") + "/run_" + uuid.uuid4().hex[:12]
+
+    def _durable(df: DataFrame, name: str) -> DataFrame:
+        path = f"{run_dir}/{name}"
+        df.write.mode("error").parquet(path)
+        return spark.read.parquet(path)
+
     # materialize the DIRECTED edge list first: the pair producer (LSH
     # signatures + verify) is the expensive upstream, and both the
     # symmetrized union below and the fast-path collect would otherwise
     # re-run it once per branch
-    before = _persistent_ids(sc)
-    e = e.localCheckpoint(eager=True)
-    e_ids = _persistent_ids(sc) - before
+    e_ids: set[int] = set()
+    if run_dir is not None:
+        e = _durable(e, "edges_directed")
+    else:
+        before = _persistent_ids(sc)
+        e = e.localCheckpoint(eager=True)
+        e_ids = _persistent_ids(sc) - before
     n_edges = e.count()
 
     if small_graph_max and n_edges <= small_graph_max:
@@ -713,21 +752,14 @@ def connected_components(
         # copy — collect the directed list as-is.
         rows = e.collect()
         _unpersist_ids(sc, e_ids)
+        if run_dir is not None:
+            _fs_delete(spark, run_dir)
         comp = _union_find((r["u"], r["v"]) for r in rows)
         out = sorted(comp.items())
         return spark.createDataFrame(out, "id long, comp long")
 
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    before = _persistent_ids(sc)
-    sym = sym.localCheckpoint(eager=True)
-    sym_ids = _persistent_ids(sc) - before
-    _unpersist_ids(sc, e_ids)
     n_edges = 2 * n_edges
-
-    if checkpoint_dir is None:
-        checkpoint_dir = sc.getCheckpointDir()
-        if checkpoint_dir is not None:
-            checkpoint_dir = checkpoint_dir.rstrip("/") + "/cc_rounds"
 
     # size the loop's parallelism to the EDGE SET, not the corpus: LSH
     # pair graphs are orders of magnitude smaller than their corpus, and
@@ -736,17 +768,37 @@ def connected_components(
     # least one — at real scale this leaves parallelism untouched.
     default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     loop_p = max(1, min(default_p, n_edges // 100_000 + 1))
+
+    if run_dir is not None:
+        # durable arm: the EDGE SET must survive executor loss too — a
+        # localCheckpoint-ed sym has truncated lineage, so losing its
+        # host would strand every later round no matter how durable the
+        # label files are
+        if loop_p < default_p:
+            sym = sym.repartition(loop_p, "v")
+        sym = _durable(sym, "edges")
+        _fs_delete(spark, f"{run_dir}/edges_directed")
+        try:
+            lab = _cc_loop_parquet(spark, sym, run_dir, max_iter)
+        except Exception:
+            # nothing useful survives a failed run — remove the orphan
+            # round files instead of stranding them under the shared dir
+            _fs_delete(spark, run_dir)
+            raise
+        _fs_delete(spark, f"{run_dir}/edges")
+        return lab
+
+    before = _persistent_ids(sc)
+    sym = sym.localCheckpoint(eager=True)
+    sym_ids = _persistent_ids(sc) - before
+    _unpersist_ids(sc, e_ids)
+
     if loop_p < default_p:
         before = _persistent_ids(sc)
         sym = sym.repartition(loop_p, "v").localCheckpoint(eager=True)
         new_ids = _persistent_ids(sc) - before
         _unpersist_ids(sc, sym_ids)  # superseded by the repartitioned copy
         sym_ids = new_ids
-
-    if checkpoint_dir is not None:
-        lab = _cc_loop_parquet(spark, sym, checkpoint_dir, max_iter)
-        _unpersist_ids(sc, sym_ids)
-        return lab
 
     before = _persistent_ids(sc)
     lab = sym.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id"))
@@ -776,6 +828,7 @@ def connected_components(
         prev_total = total
     else:
         _unpersist_ids(sc, sym_ids)
+        _unpersist_ids(sc, prev_ids)  # last round's labels: don't leak on raise
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
     _unpersist_ids(sc, sym_ids)
     return lab
@@ -783,11 +836,12 @@ def connected_components(
 
 def _cc_loop_parquet(spark, sym: DataFrame, ckpt_dir: str, max_iter: int) -> DataFrame:
     """Reliable-checkpoint CC loop: every round's labels land as a
-    parquet file under ``ckpt_dir`` (written-then-read — the write IS
-    the materialization barrier, so executor loss can always replay
-    from the last completed round); the previous round's file is
-    deleted once its successor is fully written. The final file backs
-    the returned DataFrame."""
+    parquet file under ``ckpt_dir`` (the caller's per-run unique
+    directory; written-then-read — the write IS the materialization
+    barrier, and with ``sym`` itself parquet-backed by the caller, a
+    task retry after executor loss can always replay the round from
+    files); the previous round's file is deleted once its successor is
+    fully written. The final file backs the returned DataFrame."""
     jvm = spark._jvm
     jsc = spark.sparkContext._jsc.sc()
     hconf = jsc.hadoopConfiguration()
@@ -848,12 +902,17 @@ def dedup_clusters(
     ``pair_mode="star"`` is the DEFAULT here (vs ``"all"`` for the
     pair-listing entry point): the closure step only needs connectivity,
     and star pairs cut the CC edge set from ΣB²/2 to Σ(B-1) per bucket
-    with the identical candidate closure. The verified closure matches
-    all-pairs whenever each bucket member exact-verifies against the
-    bucket hub — the defining property of a genuine near-dup bucket —
-    and is pinned against the all-pairs arm on the fixtures in
+    with the identical UNVERIFIED candidate closure. The verified
+    closure can differ from all-pairs only in one precise shape: a pair
+    (x, y) with J(x,y) ≥ t whose EVERY shared band bucket also contains
+    a smaller id z that fails verification against one of them (then no
+    x–y edge is ever tested). With b independent bands each similar
+    pair gets b chances to co-bucket without such a z, so the gap decays
+    like the LSH false-negative rate the pipeline already accepts; it is
+    pinned empty against the all-pairs arm on the fixtures in
     tests/test_cc_asof.py. Pass ``pair_mode="all"`` for the literal
-    all-pairs-then-verify closure.
+    all-pairs-then-verify closure when that residual matters more than
+    the ΣB²/2 edge blowup.
 
     ``small_graph_max`` / ``checkpoint_dir`` pass through to
     :func:`connected_components` (driver union-find fast path below the

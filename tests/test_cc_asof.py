@@ -200,6 +200,41 @@ def test_asof_null_timestamps(spark):
     assert fwd[(2, None)] == (None, None)
 
 
+def test_asof_nan_timestamps(spark):
+    """Float-ts NaN is the same corruption class as NULL but passes
+    isNotNull, and Spark orders NaN GREATER than every double: an
+    unfiltered NaN right row sorts to the probe end of the window
+    (backward mode's maximum) and leaks its payload; a NaN left ts
+    would vacuum up the max-ts right payload. Both must null-match,
+    mirroring pandas merge_asof's rejection of NaN keys."""
+    nan = float("nan")
+    left = spark.createDataFrame(
+        [(1, 5.0), (1, 20.0), (1, nan)], "k: long, t: double"
+    )
+    right = spark.createDataFrame(
+        [(1, nan, -1.0), (1, 10.0, 100.0)], "k: long, t: double, rv: double"
+    )
+
+    def key(t):
+        return "nan" if t != t else t
+
+    back = {
+        (r["k"], key(r["t"])): (r["t_r"], r["rv_r"])
+        for r in asof_join(left, right, on=["k"], ts="t").collect()
+    }
+    assert back[(1, 5.0)] == (None, None)
+    assert back[(1, 20.0)] == (10.0, 100.0)
+    assert back[(1, "nan")] == (None, None)  # NaN left ts: null match
+
+    fwd = {
+        (r["k"], key(r["t"])): (r["t_r"], r["rv_r"])
+        for r in asof_join(left, right, on=["k"], ts="t", kind="forward").collect()
+    }
+    assert fwd[(1, 5.0)] == (10.0, 100.0)
+    assert fwd[(1, 20.0)] == (None, None)  # must NOT see the NaN-ts payload
+    assert fwd[(1, "nan")] == (None, None)
+
+
 def _persisted_count(spark):
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     return len(jmap.keySet().toArray())
@@ -235,12 +270,15 @@ def test_cc_parquet_round_files(spark, tmp_path):
     out = connected_components(df, small_graph_max=0, checkpoint_dir=ckpt)
     got = {r["id"]: r["comp"] for r in out.collect()}
     assert got == _uf_components(edges)
-    rounds = sorted(d for d in os.listdir(ckpt) if d.startswith("round_"))
-    assert len(rounds) == 1, rounds  # only the final round file survives
+    runs = sorted(d for d in os.listdir(ckpt) if d.startswith("run_"))
+    assert len(runs) == 1, runs  # one per-call unique run directory
+    inside = sorted(os.listdir(os.path.join(ckpt, runs[0])))
+    rounds = [d for d in inside if d.startswith("round_")]
+    assert len(rounds) == 1, inside  # only the final round file survives
+    # ...and the edge-set parquet is cleaned up after the loop
+    assert not any(d.startswith("edges") for d in inside), inside
     # the returned frame literally reads from that file
-    import pyspark.sql.functions as SF
-
-    re_read = spark.read.parquet(f"{ckpt}/{rounds[0]}")
+    re_read = spark.read.parquet(f"{ckpt}/{runs[0]}/{rounds[0]}")
     assert re_read.count() == len(got)
 
 
@@ -261,9 +299,45 @@ def test_cc_checkpoint_dir_autodetected(spark, tmp_path):
         local = sc.getCheckpointDir().removeprefix("file:")
         cc_dir = os.path.join(local, "cc_rounds")
         assert os.path.isdir(cc_dir), cc_dir
-        assert any(d.startswith("round_") for d in os.listdir(cc_dir))
+        runs = [d for d in os.listdir(cc_dir) if d.startswith("run_")]
+        assert runs, os.listdir(cc_dir)
+        assert any(
+            d.startswith("round_") for d in os.listdir(os.path.join(cc_dir, runs[0]))
+        )
     finally:
         sc._jsc.sc().setCheckpointDir(None)
+
+
+def test_cc_two_durable_runs_do_not_clobber(spark, tmp_path):
+    """Two connected_components calls sharing one checkpoint dir must not
+    overwrite each other's round files: the first call's returned
+    DataFrame stays lazily backed by ITS parquet, so a fixed round path
+    would silently swap in (or delete) the second run's labels."""
+    ckpt = str(tmp_path / "shared")
+    g1 = [(i, i + 1) for i in range(0, 40)]  # one 41-node chain
+    g2 = [(100 + 2 * i, 101 + 2 * i) for i in range(40)]  # 40 doubletons
+    df1 = spark.createDataFrame(g1, "id_a: long, id_b: long")
+    df2 = spark.createDataFrame(g2, "id_a: long, id_b: long")
+    out1 = connected_components(df1, small_graph_max=0, checkpoint_dir=ckpt)
+    out2 = connected_components(df2, small_graph_max=0, checkpoint_dir=ckpt)
+    # collect run 1 AFTER run 2 completed — the clobber shape
+    assert {r["id"]: r["comp"] for r in out1.collect()} == _uf_components(g1)
+    assert {r["id"]: r["comp"] for r in out2.collect()} == _uf_components(g2)
+
+
+def test_cc_durable_arm_pins_no_executor_memory(spark, tmp_path):
+    """The durable arm must be parquet end-to-end — including the EDGE
+    SET (a localCheckpoint-ed sym dies with its executor, stranding
+    every later round no matter how durable the label files are). No
+    persistent RDD may outlive the call, and none may exist mid-plan."""
+    before = _persisted_count(spark)
+    edges = [(i, i + 1) for i in range(0, 80)]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    out = connected_components(
+        df, small_graph_max=0, checkpoint_dir=str(tmp_path / "cc")
+    )
+    assert {r["id"]: r["comp"] for r in out.collect()} == _uf_components(edges)
+    assert _persisted_count(spark) == before
 
 
 # ---------------------------------------------------------------------------

@@ -93,6 +93,23 @@ def test_osgb_tm_anchor_os_worked_example():
     assert math.isclose(la[0], lat, abs_tol=1e-10)
 
 
+def test_vendored_transformer_empty_batch():
+    """Zero-length coordinate arrays (an empty ring / empty Arrow batch)
+    must pass through, not raise — np.max over an empty iteration
+    residual is a ValueError, and one degenerate geometry would fail the
+    whole reprojection task. The pyproj arm handles empties; the
+    vendored arm must too."""
+    import numpy as np
+
+    from geotables_jl_spark.functions.crs_vendored import Osgb36Transformer
+
+    empty = np.array([], dtype=np.float64)
+    E, N = Osgb36Transformer.forward(empty, empty)
+    assert E.size == 0 and N.size == 0
+    lo, la = Osgb36Transformer.inverse(empty, empty)
+    assert lo.size == 0 and la.size == 0
+
+
 def test_longtail_roundtrip_bng(spark):
     """EPSG:27700 (British National Grid) round-trip through the
     long-tail fallback kernel — runs UN-SKIPPED without pyproj via the

@@ -192,6 +192,16 @@ def test_arrow_twin_nulls_nan_rows(spark):
     df = df.union(
         spark.sql("SELECT 4L AS rid, CAST('NaN' AS DOUBLE) AS x, 0.1D AS y, 0.2D AS z")
     )
+    # rows 5/6: ±Infinity — abs(inf) comparisons are TRUE, so without an
+    # explicit mask the codegen twin picks a real face and clamps to a
+    # valid-looking edge cell while the Arrow twin's isfinite mask says
+    # NULL; the parity contract requires NULL from both
+    df = df.union(
+        spark.sql(
+            "SELECT 5L, CAST('Infinity' AS DOUBLE), 0.1D, 0.2D"
+            " UNION ALL SELECT 6L, 0.1D, CAST('-Infinity' AS DOUBLE), 0.2D"
+        )
+    )
     got = {
         r["rid"]: r["s2_cell"]
         for r in s2.with_s2_cell_arrow(df, 12, xyz=("x", "y", "z")).collect()
@@ -201,7 +211,7 @@ def test_arrow_twin_nulls_nan_rows(spark):
         for r in s2.with_s2_cell(df, 12, xyz=("x", "y", "z")).collect()
     }
     assert got == want
-    assert [got[i] for i in (1, 2, 3, 4)] == [None] * 4
+    assert [got[i] for i in (1, 2, 3, 4, 5, 6)] == [None] * 6
     assert got[0] is not None
     # latlon convenience path: NULL lat -> NULL cell
     lldf = spark.sql("SELECT 1L AS rid, CAST(NULL AS DOUBLE) AS lat, 3.5D AS lon")
