@@ -3,10 +3,11 @@
 Media ride along as opaque ``binary`` columns with typed metadata —
 exactly how the north-star table carries ``html:binary``. The Spark-side
 plumbing (schemas, batch iteration, partition-preserving mapInPandas) is
-real and tested; the actual codec calls are STUBBED behind
-``decode_stub=True`` (this container has no image/audio libraries) with
-a deterministic fake so pipelines are testable end-to-end. Swap
-``_decode_image_real`` for a PIL/libvips call in production.
+real and tested. Decode is REAL with zero optional dependencies for the
+lossless/stdlib formats — PNG via the vendored codec
+(``functions/png_vendored``), PCM WAV via stdlib ``wave`` — and uses
+Pillow when installed for the rest (JPEG/GIF/...); ``decode_stub=True``
+keeps the deterministic fake for pipelines that only test plumbing.
 
 Scale: media bytes dominate row size → ``spark.sql.files.maxPartitionBytes``
 should be lowered (128 MB default is ~thousands of images per task —
@@ -80,21 +81,30 @@ def _pil():
 
 
 def _decode_image_real(payload: bytes, target: tuple[int, int]) -> np.ndarray:
-    """Real decode via Pillow when installed: decode → RGB → resize with
-    NEAREST (deterministic across Pillow versions, unlike the
-    antialiased filters) → HWC uint8. Raises with a clear message when
-    no codec library is present (use decode_stub=True then)."""
+    """Real decode → RGB → deterministic NEAREST resize → HWC uint8.
+
+    PNG payloads decode through the vendored pure-stdlib codec
+    (``functions/png_vendored``) — PNG is lossless, so the pixels are
+    bit-identical to any conformant decoder, and the path runs with ZERO
+    optional dependencies. Other formats (JPEG/GIF/...) need Pillow;
+    absent that, a clear NotImplementedError names the boundary (use
+    decode_stub=True then). Both arms share ``resize_nearest`` (fixed
+    pixel-center convention), so feature output is environment-
+    independent: same bytes → same features, with or without Pillow."""
+    from geotables_jl_spark.functions.png_vendored import decode_png, resize_nearest
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return resize_nearest(decode_png(payload), target)
     Image = _pil()
     if Image is None:
         raise NotImplementedError(
-            "real image decode needs Pillow — not installed; "
+            "real decode of non-PNG images needs Pillow — not installed; "
             "use decode_stub=True (deterministic fake) or plug a codec in here"
         )
     import io
 
     with Image.open(io.BytesIO(payload)) as im:
-        im = im.convert("RGB").resize(target, resample=Image.NEAREST)
-        return np.asarray(im, dtype=np.uint8)
+        return resize_nearest(np.asarray(im.convert("RGB"), dtype=np.uint8), target)
 
 
 def _decode_image_fake(payload: bytes, target: tuple[int, int]) -> np.ndarray:
@@ -146,6 +156,65 @@ def decode_resize_features(
                     "width": width,
                     "height": height,
                     "features": feats,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(_iter, schema=schema)
+
+
+def decode_audio_features(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """PCM WAV decode → (id, sample_rate, n_samples, duration_ms, rms),
+    over mapInPandas — REAL decode via stdlib ``wave`` (no optional
+    libraries): RIFF header parse + int8/16/32 sample extraction, RMS
+    normalized to [0, 1] full scale. Undecodable payloads yield NULL
+    fields rather than failing the task (one corrupt blob must not kill
+    a 100 TB scan); compressed codecs (mp3/ogg) are outside stdlib and
+    land in the NULL arm with everything else ``wave`` rejects."""
+    import io
+    import wave
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+            T.StructField("rms", T.DoubleType(), True),
+        ]
+    )
+    _WIDTH_DTYPE = {1: np.int8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}
+
+    def _one(payload: bytes):
+        try:
+            with wave.open(io.BytesIO(payload)) as wv:
+                rate, n, width = wv.getframerate(), wv.getnframes(), wv.getsampwidth()
+                frames = wv.readframes(n)
+        except Exception:
+            return (None, None, None, None)
+        dtype = _WIDTH_DTYPE.get(width)
+        if dtype is None or rate <= 0:
+            return (None, None, None, None)
+        if width == 1:  # wave format: 8-bit PCM is unsigned, wider is signed
+            samples = np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0
+        else:
+            samples = np.frombuffer(frames, dtype=dtype).astype(np.float64)
+        full = float(2 ** (8 * width - 1))
+        rms = float(np.sqrt(np.mean((samples / full) ** 2))) if samples.size else 0.0
+        return (rate, len(samples), int(n * 1000 / rate), rms)
+
+    def _iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cols = [_one(bytes(p)) for p in pdf[binary_col]]
+            rate, n, dur, rms = zip(*cols)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "sample_rate": pd.array(rate, dtype="Int32"),
+                    "n_samples": pd.array(n, dtype="Int64"),
+                    "duration_ms": pd.array(dur, dtype="Int64"),
+                    "rms": pd.array(rms, dtype="float64"),
                 }
             )
 
