@@ -74,6 +74,30 @@ def test_real_decode_with_resize(spark):
     assert out[0]["features"] == want
 
 
+def test_corrupt_image_yields_null_features_not_task_failure(spark):
+    """Poison-blob contract (SCALE.md multimodal row): a corrupt payload
+    produces a NULL ``features`` row; good rows in the same batch still
+    decode. At 10¹² docs even a tiny corruption rate means many bad
+    blobs, and one must not kill (or retry-loop) the scan."""
+    arr, payload = _gradient_png()
+    truncated = payload[: len(payload) // 2]  # mid-IDAT truncation
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(truncated)), (3, bytearray(b"\x89PNG\r\n\x1a\njunk"))],
+        "doc_id long, img binary",
+    )
+    out = {
+        r["id"]: r
+        for r in decode_resize_features(
+            df, "img", "doc_id", width=4, height=4, decode_stub=False
+        ).collect()
+    }
+    assert len(out) == 3
+    want = [float(arr[..., c].mean()) for c in range(3)]
+    assert out[1]["features"] == want
+    assert out[2]["features"] is None
+    assert out[3]["features"] is None
+
+
 def _pcm16_wav(samples: np.ndarray, rate: int) -> bytes:
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wv:
