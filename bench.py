@@ -91,8 +91,14 @@ def main() -> None:
         # runs in 2.1 s. The probe (zero shared state, pure hashlib)
         # timestamps the suite's window so a slow BENCH round is
         # attributable: ~4.0 = quiet host, ≲2.5 = throttled host.
-        "host_par_ratio_4to16_pre": host_pre,
-        "host_par_ratio_4to16_post": host_post,
+        "host_par_ratio_4to16_pre": host_pre[0],
+        "host_par_ratio_4to16_post": host_post[0],
+        # absolute probe seconds (fixed work): compare across rounds to
+        # separate "host was slower" from "plan got slower"
+        "host_probe_t4_sec_pre": host_pre[1],
+        "host_probe_t16_sec_pre": host_pre[2],
+        "host_probe_t4_sec_post": host_post[1],
+        "host_probe_t16_sec_post": host_post[2],
     }
     print(json.dumps(out))
 
@@ -110,9 +116,16 @@ def _clear_session_state(spark) -> None:
         jmap[k].unpersist(False)
 
 
-def _host_parallel_ratio() -> float:
-    """4→16 independent-process throughput ratio (ideal 4.0) — the same
-    probe family as tools/scaling_bench.calibrate, sized to ~5 s."""
+def _host_parallel_ratio() -> tuple[float, float, float]:
+    """(4→16 throughput ratio, t4 sec, t16 sec) — the same probe family
+    as tools/scaling_bench.calibrate, sized to ~5 s. The ratio (ideal
+    4.0) attributes SCALING throttling; the absolute seconds attribute
+    ABSOLUTE host slowdown: the probe is fixed work (600k sha256 per
+    process), so a round where t16 runs 2× a prior round's t16 ran on a
+    host that was 2× slower, and every Spark number that round inherits
+    that factor — without this, a slow window reads as a plan
+    regression (it did in r3→r4: webpages_tiles recorded 17.8 s in one
+    full-suite window and 2.6 s in a quiet one, identical plan)."""
     import subprocess
 
     code = "import hashlib\nfor i in range(600000): hashlib.sha256(str(i).encode()).digest()"
@@ -126,7 +139,7 @@ def _host_parallel_ratio() -> float:
 
     t4 = min(run(4), run(4))
     t16 = min(run(16), run(16))
-    return round((16.0 / t16) / (4.0 / t4), 2)
+    return round((16.0 / t16) / (4.0 / t4), 2), round(t4, 2), round(t16, 2)
 
 
 def _sf_from_dir(sf_dir: str) -> float:
