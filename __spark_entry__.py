@@ -1161,6 +1161,24 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_filter(doc, "doc_id", "text")
 
 
+def q_bloom_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl dedup: Bloom filter built over the documents
+    url corpus (sparse-word bit_or merge, driver holds m/8 bytes once),
+    then a MAP-ONLY anti-join of an arrivals batch (half corpus + fresh
+    urls) against the broadcast filter. Bench-only: the emitted set is
+    probabilistic by contract (no false negatives, ~fpp of fresh keys
+    withheld), so the deterministic gate twin is the pure-Python
+    bit-exact oracle in tests/test_bloom.py rather than DuckDB SQL."""
+    from geotables_jl_spark.operators.bloom import bloom_anti_join
+
+    docs = webpages_from_documents(spark, sf_dir).select("url")
+    fresh = spark.range(20000).select(
+        F.concat(F.lit("https://frontier.example/"), F.col("id")).alias("url")
+    )
+    arrivals = docs.limit(5000).union(fresh)
+    return bloom_anti_join(arrivals, docs, "url", fpp=0.01)
+
+
 def q_sample_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-DEFAULT uniform sample (compiled murmur3 rank) — bench-only
     twin of q_sample_uniform (md5 oracle family)."""
@@ -1178,6 +1196,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fast": q_simhash_fast,
         "sample_fast": q_sample_fast,
         "quality_filter": q_quality_filter,
+        "bloom_antijoin": q_bloom_antijoin,
     }
 
 

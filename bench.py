@@ -61,11 +61,19 @@ def main() -> None:
         if only and name not in only:
             continue
         best = None
-        for _ in range(repeat):
+        runs = 0
+        while runs < repeat or (best > 2.0 and runs < repeat + 2 and best == dt):
+            # adaptive tail: a heavy query whose LAST run is still its
+            # best hasn't reached steady state (first runs pay JIT/
+            # codegen of its operator family — measured 7-24s cold vs
+            # 2.6s steady for the window+64-agg LSH plan); give it up
+            # to two extra runs instead of reporting warm-up as plan
+            # cost. Cheap queries (<2s) never take the tail.
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            runs += 1
         times[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s", file=sys.stderr)

@@ -30,6 +30,12 @@ from geotables_jl_spark.functions.crs import canonical_crs, parse_crs, reproject
 from geotables_jl_spark.operators.geojoin import geojoin, knn_join
 from geotables_jl_spark.operators.geojoin_s2 import s2_dwithin_join, s2_knn_join, s2_point_prep
 from geotables_jl_spark.operators.asof import asof_join
+from geotables_jl_spark.operators.bloom import (
+    BloomFilter,
+    bloom_anti_join,
+    build_bloom,
+    with_bloom_contains,
+)
 from geotables_jl_spark.operators.dedup import connected_components, dedup_clusters
 from geotables_jl_spark.operators.quality import gopher_quality_filter
 from geotables_jl_spark.operators.tablejoin import tablejoin
@@ -57,6 +63,10 @@ __all__ = [
     "Checkpointer",
     "Pipeline",
     "geotag_pipeline",
+    "BloomFilter",
+    "build_bloom",
+    "with_bloom_contains",
+    "bloom_anti_join",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,136 @@
+"""Bloom-filter incremental crawl dedup: distributed build vs a pure
+plain-int Python oracle (bit-exact words), the no-false-negative
+contract, NULL-key semantics, plan shape (probe is map-only), and the
+size guard."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geotables_jl_spark.operators.bloom import (
+    BloomFilter,
+    _optimal_params,
+    bloom_anti_join,
+    build_bloom,
+    with_bloom_contains,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_bloom(hash_pairs, m_bits, k):
+    """Independent oracle: plain Python ints, mod-2^64 double hashing."""
+    words = [0] * (m_bits // 64)
+    for h1, h2 in hash_pairs:
+        h1 %= 1 << 64
+        h2 %= 1 << 64
+        for i in range(k):
+            pos = ((h1 + i * h2) % (1 << 64)) % m_bits
+            words[pos >> 6] |= 1 << (pos & 63)
+    return words
+
+
+def _py_contains(words, m_bits, k, h1, h2):
+    h1 %= 1 << 64
+    h2 %= 1 << 64
+    for i in range(k):
+        pos = ((h1 + i * h2) % (1 << 64)) % m_bits
+        if not (words[pos >> 6] >> (pos & 63)) & 1:
+            return False
+    return True
+
+
+def _hash_pairs(spark, df, key):
+    rows = df.select(
+        F.xxhash64(key).alias("h1"),
+        F.xxhash64(key, F.lit(0x9E3779B9)).alias("h2"),
+    ).collect()
+    return [(r["h1"] % (1 << 64), r["h2"] % (1 << 64)) for r in rows]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    from geotables_jl_spark.sources.webpages import webpages_from_documents
+
+    return webpages_from_documents(spark, SF).select("url").cache()
+
+
+def test_build_matches_pure_python_oracle(spark, corpus):
+    bf = build_bloom(corpus, "url", fpp=0.01)
+    pairs = _hash_pairs(spark, corpus.distinct(), F.col("url"))
+    words = _py_bloom(pairs, bf.m_bits, bf.k)
+    assert [int(w) for w in bf.words.tolist()] == words
+    assert 0.0 < bf.fill_ratio < 0.6
+
+
+def test_no_false_negatives_and_probe_matches_oracle(spark, corpus):
+    bf = build_bloom(corpus, "url", fpp=0.01)
+    flagged = with_bloom_contains(corpus, bf, "url").collect()
+    assert all(r["in_corpus"] is True for r in flagged)
+
+    # absent keys: flag must equal the oracle's verdict exactly
+    fresh = spark.range(300).select(
+        F.concat(F.lit("https://new.example/"), F.col("id")).alias("url")
+    )
+    got = {
+        r["url"]: r["in_corpus"]
+        for r in with_bloom_contains(fresh, bf, "url").collect()
+    }
+    words = [int(w) for w in bf.words.tolist()]
+    oracle_pairs = dict(
+        zip([r["url"] for r in fresh.collect()], _hash_pairs(spark, fresh, F.col("url")))
+    )
+    for url, (h1, h2) in oracle_pairs.items():
+        assert got[url] == _py_contains(words, bf.m_bits, bf.k, h1, h2)
+    # and the false-positive rate is in the right ballpark (not ~1.0)
+    assert sum(got.values()) <= 0.1 * len(got)
+
+
+def test_anti_join_emits_only_new_keys(spark, corpus):
+    fresh = spark.range(200).select(
+        F.concat(F.lit("https://frontier.example/"), F.col("id")).alias("url")
+    )
+    arrivals = corpus.limit(100).union(fresh)
+    out = [r["url"] for r in bloom_anti_join(arrivals, corpus, "url").collect()]
+    # no false negatives: nothing already in the corpus survives
+    assert all(u.startswith("https://frontier.example/") for u in out)
+    # ~fpp of the 200 fresh keys may be withheld; far more than that is a bug
+    assert len(out) >= 190
+
+
+def test_null_keys_pass_through_as_new(spark, corpus):
+    bf = build_bloom(corpus, "url", fpp=0.01)
+    arrivals = spark.createDataFrame(
+        [(None,), ("https://frontier.example/x",)], "url string"
+    )
+    flagged = {
+        r["url"]: r["in_corpus"]
+        for r in with_bloom_contains(arrivals, bf, "url").collect()
+    }
+    assert flagged[None] is None
+    out = bloom_anti_join(arrivals, bf, "url").collect()
+    assert None in {r["url"] for r in out}
+
+
+def test_probe_plan_is_map_only(spark, corpus):
+    bf = build_bloom(corpus, "url", fpp=0.01)
+    fresh = spark.range(50).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url")
+    )
+    plan = bloom_anti_join(fresh, bf, "url")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_size_guard_and_sizing_math(spark, corpus):
+    with pytest.raises(ValueError, match="max_bytes"):
+        build_bloom(corpus, "url", expected_n=10**12, fpp=0.01)
+    m, k = _optimal_params(1_000_000, 0.01)
+    assert 9_000_000 < m < 10_500_000 and 6 <= k <= 8
+    # degenerate sizes stay valid
+    m0, k0 = _optimal_params(0, 0.01)
+    assert m0 == 64 and k0 == 1
+
+
+def test_contains_np_empty():
+    bf = BloomFilter(64, 1, np.zeros(1, dtype=np.uint64))
+    assert bf.contains_np(np.array([], dtype=np.uint64), np.array([], dtype=np.uint64)).shape == (0,)
