@@ -134,3 +134,38 @@ def test_size_guard_and_sizing_math(spark, corpus):
 def test_contains_np_empty():
     bf = BloomFilter(64, 1, np.zeros(1, dtype=np.uint64))
     assert bf.contains_np(np.array([], dtype=np.uint64), np.array([], dtype=np.uint64)).shape == (0,)
+
+
+def test_bloom_probe_composes_with_structured_streaming(spark, corpus, tmp_path):
+    """The probe is map-only, so it must drop into readStream unchanged:
+    stream arrivals against the corpus filter, collect the frontier, and
+    match the batch anti-join exactly (same filter, same flags)."""
+    from pyspark.sql import functions as F
+
+    bf = build_bloom(corpus, "url", fpp=0.01)
+
+    arrivals = corpus.limit(40).union(
+        spark.range(60).select(
+            F.concat(F.lit("https://stream.example/"), F.col("id")).alias("url")
+        )
+    )
+    src = str(tmp_path / "arrivals")
+    arrivals.coalesce(2).write.parquet(src)
+
+    stream = spark.readStream.schema("url string").parquet(src)
+    frontier = with_bloom_contains(stream, bf, "url").filter(~F.col("in_corpus"))
+    q = (
+        frontier.writeStream.format("memory")
+        .queryName("bloom_frontier")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["url"] for r in spark.sql("select url from bloom_frontier").collect())
+    want = sorted(r["url"] for r in bloom_anti_join(arrivals, bf, "url").collect())
+    assert got == want
+    assert all(u.startswith("https://stream.example/") for u in got)
