@@ -283,18 +283,22 @@ def minhash_lsh_pairs(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("__band", "__bucket")
-    tagged = banded.withColumn("__hub", F.min("__id").over(w)).withColumn(
-        "__bsz", F.count(F.lit(1)).over(w)
-    ).filter(F.col("__bsz") > 1)
 
     if pair_mode == "star":
-        # no per-bucket member array anywhere in the plan
+        # no per-bucket member array anywhere in the plan. One window
+        # function only: a bucket-size count would be redundant —
+        # ``id > hub`` can never hold in a singleton bucket (its only
+        # member IS the hub), so the size filter falls out for free.
         pairs = (
-            tagged.filter(F.col("__id") > F.col("__hub"))
+            banded.withColumn("__hub", F.min("__id").over(w))
+            .filter(F.col("__id") > F.col("__hub"))
             .select(F.col("__hub").alias("id_a"), F.col("__id").alias("id_b"))
             .distinct()
         )
     else:
+        tagged = banded.withColumn("__hub", F.min("__id").over(w)).withColumn(
+            "__bsz", F.count(F.lit(1)).over(w)
+        ).filter(F.col("__bsz") > 1)
         cap = F.lit(max_bucket) if max_bucket is not None else F.col("__bsz")
         # small buckets: groupBy on the window's own partition keys —
         # Catalyst reuses the exchange, so collect_set adds no shuffle
