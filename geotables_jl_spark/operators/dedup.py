@@ -194,7 +194,7 @@ def minhash_signatures(
 
 
 def _explode_bucket_pairs(members: DataFrame) -> DataFrame:
-    """(band, bucket, __ids sorted array) → all (id_a, id_b) i<j pairs."""
+    """(bucket, __ids sorted array) → all (id_a, id_b) i<j pairs."""
     return members.select(
         F.explode(
             F.flatten(
@@ -261,28 +261,34 @@ def minhash_lsh_pairs(
         raise ValueError("pair_mode must be 'all' or 'star'")
     rows = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
-    band_structs = F.array(
+    # ONE packed 64-bit bucket key per band: the band id is the first
+    # xxhash64 argument, so equal signature slices in DIFFERENT bands
+    # land in different buckets (band decorrelation) without carrying a
+    # separate band column — the LSH shuffle row is (id, bucket) =
+    # 16 bytes instead of 24, and every downstream grouping/window keys
+    # on a single long. Cross-band bucket collisions need a 64-bit hash
+    # collision (~#postings²/2⁶⁴) and at worst add one spurious
+    # CANDIDATE pair — the verify step (or exact-Jaccard oracle
+    # equivalence) already owns that class of false positive.
+    bucket_arr = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(",", *[F.col(f"s{b * rows + r}") for r in range(rows)])
-                ).alias("bucket"),
+            F.xxhash64(
+                F.lit(b),
+                F.concat_ws(",", *[F.col(f"s{b * rows + r}") for r in range(rows)]),
             )
             for b in range(bands)
         ]
     )
-    banded = sig.select("__id", F.explode(band_structs).alias("__bb")).select(
-        "__id", F.col("__bb.band").alias("__band"), F.col("__bb.bucket").alias("__bucket")
-    )
+    banded = sig.select("__id", F.explode(bucket_arr).alias("__bucket"))
 
     # hub (min id) and size per bucket via a PARTITIONED window rather
-    # than groupBy + join-back: one hash exchange on (band, bucket) and
-    # the expensive signature pipeline upstream is computed exactly ONCE
-    # (the join-back form re-ran shingle+64-perm hashing for each side).
+    # than groupBy + join-back: one hash exchange on the packed bucket
+    # key and the expensive signature pipeline upstream is computed
+    # exactly ONCE (the join-back form re-ran shingle+64-perm hashing
+    # for each side).
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("__band", "__bucket")
+    w = Window.partitionBy("__bucket")
 
     if pair_mode == "star":
         # no per-bucket member array anywhere in the plan. One window
@@ -304,7 +310,7 @@ def minhash_lsh_pairs(
         # Catalyst reuses the exchange, so collect_set adds no shuffle
         small = (
             tagged.filter(F.col("__bsz") <= cap)
-            .groupBy("__band", "__bucket")
+            .groupBy("__bucket")
             .agg(F.array_sort(F.collect_set("__id")).alias("__ids"))
         )
         star = (
