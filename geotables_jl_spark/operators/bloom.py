@@ -240,3 +240,219 @@ def bloom_anti_join(
     return flagged.filter(
         F.col("__in_corpus").isNull() | ~F.col("__in_corpus")
     ).drop("__in_corpus")
+
+
+# ---------------------------------------------------------------------------
+# sharded bloom: corpora past one broadcastable filter
+# ---------------------------------------------------------------------------
+
+#: shard-routing hash seed — a third independent xxhash64 stream (build
+#: h1 uses the default seed, h2 uses _H2_SEED)
+_SHARD_SEED = 0x5851F42D
+
+
+def _shard_col(key: Column, n_shards: int) -> Column:
+    return F.pmod(F.xxhash64(key, F.lit(_SHARD_SEED)), F.lit(n_shards))
+
+
+def build_bloom_sharded(
+    df: DataFrame,
+    key_col: str,
+    out_dir: str,
+    n_shards: int,
+    expected_n: int | None = None,
+    fpp: float = 0.01,
+    max_bytes_per_shard: int = 256 * 1024 * 1024,
+) -> dict:
+    """Sharded Bloom build for corpora past one broadcastable filter
+    (10⁹+ keys): shard s owns the keys with ``xxhash64(key, seed₃) mod
+    n_shards == s``, each shard is an independent Bloom filter sized for
+    ``expected_n / n_shards`` keys, and the merged sparse words land as
+    ONE parquet dataset partitioned by shard — the driver never holds
+    any filter.
+
+    Scale shape: one 24-byte/row shuffle of (shard, h1, h2) routes keys
+    to shard-owning tasks; each task builds a DENSE word array only for
+    the shards in its partition (≈1 at ``n_shards`` partitions, bounded
+    by ``max_bytes_per_shard`` each) and emits nonzero words;
+    ``groupBy(shard, word_idx).bit_or`` merges map-side; the write is
+    ``partitionBy(shard)`` so probes read exactly one directory per
+    shard. Returns the manifest dict (also written as
+    ``_bloom_manifest.json`` inside ``out_dir``).
+    """
+    import json as _json
+
+    spark = df.sparkSession
+    if expected_n is None:
+        expected_n = df.select(key_col).na.drop().distinct().count()
+    per_shard = max(1, (expected_n + n_shards - 1) // n_shards)
+    m_bits, k = _optimal_params(per_shard, fpp)
+    if m_bits // 8 > max_bytes_per_shard:
+        raise ValueError(
+            f"shard filter of {m_bits // 8} bytes (expected_n={expected_n}, "
+            f"n_shards={n_shards}, fpp={fpp}) exceeds max_bytes_per_shard="
+            f"{max_bytes_per_shard}; raise n_shards"
+        )
+    n_words = m_bits // _WORD_BITS
+    key = F.col(key_col)
+    h1c, h2c = _hash_cols(key)
+    hashed = (
+        df.filter(key.isNotNull())
+        .select(
+            _shard_col(key, n_shards).alias("__shard"),
+            h1c.alias("__h1"),
+            h2c.alias("__h2"),
+        )
+        .repartition(n_shards, "__shard")
+    )
+
+    kk, mb = k, m_bits
+
+    def _partition_words(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        # one dense array per shard PRESENT IN THIS PARTITION — with
+        # hash routing that is ~1 shard (a few under partition-count
+        # collisions), each bounded by max_bytes_per_shard
+        dense: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sh = pdf["__shard"].to_numpy(dtype=np.int64)
+            h1 = pdf["__h1"].to_numpy(dtype=np.int64).view(np.uint64)
+            h2 = pdf["__h2"].to_numpy(dtype=np.int64).view(np.uint64)
+            for s in np.unique(sh):
+                sel = sh == s
+                words = dense.setdefault(int(s), np.zeros(n_words, dtype=np.uint64))
+                pos = _positions(h1[sel], h2[sel], kk, mb).ravel()
+                np.bitwise_or.at(
+                    words, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63))
+                )
+        for s, words in dense.items():
+            (idx,) = np.nonzero(words)
+            yield pd.DataFrame(
+                {
+                    "shard": np.full(len(idx), s, dtype=np.int64),
+                    "word_idx": idx.astype(np.int64),
+                    "word": words[idx].view(np.int64),
+                }
+            )
+
+    sparse = hashed.mapInPandas(
+        _partition_words, schema="shard long, word_idx long, word long"
+    )
+    (
+        sparse.groupBy("shard", "word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "m_bits": m_bits,
+        "k": k,
+        "expected_n": expected_n,
+        "fpp": fpp,
+        "format": "parquet partitionBy(shard): (word_idx long, word long)",
+    }
+    # manifest travels with the data (same contract as the checkpoint
+    # layer's _MANIFEST.json): a probe needs only the directory
+    import os
+
+    with open(os.path.join(out_dir, "_bloom_manifest.json"), "w") as f:
+        f.write(_json.dumps(manifest))
+    return manifest
+
+
+def _load_shard_words(out_dir: str, shard: int, n_words: int) -> np.ndarray:
+    """Read one shard's sparse words into a dense array (probe side —
+    runs inside executor Python workers via pyarrow, no Spark)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    words = np.zeros(n_words, dtype=np.uint64)
+    for path in sorted(glob.glob(f"{out_dir}/shard={shard}/*.parquet")):
+        t = pq.read_table(path, columns=["word_idx", "word"])
+        idx = t.column("word_idx").to_numpy()
+        w = t.column("word").to_numpy().view(np.uint64)
+        words[idx] |= w
+    return words
+
+
+#: worker-global shard cache keyed by (out_dir, shard) — out_dir is the
+#: identity of a build (builds write whole directories atomically via
+#: mode=overwrite), so unlike an id()-keyed cache this key cannot alias
+#: across rebuilds at different paths
+_SHARD_CACHE: dict = {}
+
+
+def with_bloom_contains_sharded(
+    df: DataFrame, out_dir: str, key_col: str, out_col: str = "in_corpus"
+) -> DataFrame:
+    """Sharded twin of :func:`with_bloom_contains`: adds the boolean
+    flag by routing arrivals to their shard (ONE exchange on the shard
+    id) and probing each partition against ONLY its shard's word array,
+    lazily loaded from ``out_dir`` and cached per worker. Per-task
+    memory is one shard (``max_bytes_per_shard``), never the full
+    filter — the property that removes the single-filter size ceiling.
+    NULL keys → NULL flag."""
+    import json as _json
+    import os
+
+    with open(os.path.join(out_dir, "_bloom_manifest.json")) as f:
+        man = _json.loads(f.read())
+    n_shards, m_bits, k = man["n_shards"], man["m_bits"], man["k"]
+    n_words = m_bits // _WORD_BITS
+
+    key = F.col(key_col)
+    h1c, h2c = _hash_cols(key)
+    routed = df.withColumns(
+        {
+            "__shard": F.when(key.isNotNull(), _shard_col(key, n_shards)),
+            "__h1": h1c,
+            "__h2": h2c,
+        }
+    ).repartition(n_shards, "__shard")
+
+    helper = {"__shard", "__h1", "__h2"}
+    out_schema = ", ".join(f"`{c}` {t}" for c, t in routed.dtypes if c not in helper)
+    out_schema += f", `{out_col}` boolean"
+
+    def _probe(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            flags = np.zeros(len(pdf), dtype=object)
+            flags[:] = None
+            sh = pdf["__shard"]
+            valid = sh.notna().to_numpy()
+            if valid.any():
+                svals = sh.to_numpy(dtype="float64")  # shard ids are small ints: exact
+                h1 = pdf["__h1"].to_numpy(dtype=np.int64).view(np.uint64)
+                h2 = pdf["__h2"].to_numpy(dtype=np.int64).view(np.uint64)
+                for s in np.unique(svals[valid]).astype(np.int64):
+                    ck = (out_dir, int(s))
+                    if ck not in _SHARD_CACHE:
+                        _SHARD_CACHE[ck] = _load_shard_words(out_dir, int(s), n_words)
+                    bf = BloomFilter(m_bits, k, _SHARD_CACHE[ck])
+                    sel = valid & (svals == s)
+                    flags[sel] = bf.contains_np(h1[sel], h2[sel])
+            out = pdf.drop(columns=list(helper))
+            out[out_col] = flags
+            yield out
+
+    return routed.mapInPandas(_probe, schema=out_schema)
+
+
+def bloom_anti_join_sharded(
+    new_df: DataFrame, out_dir: str, key_col: str
+) -> DataFrame:
+    """Sharded :func:`bloom_anti_join`: frontier rows of ``new_df``
+    against a :func:`build_bloom_sharded` directory. Same contract (no
+    false negatives, ~fpp of new keys deferred, NULL keys pass
+    through); plan is one arrival-side exchange + a map, the corpus
+    filter stays on disk and pages in one shard per task."""
+    flagged = with_bloom_contains_sharded(new_df, out_dir, key_col, "__in_corpus")
+    return flagged.filter(
+        F.col("__in_corpus").isNull() | ~F.col("__in_corpus")
+    ).drop("__in_corpus")

@@ -169,3 +169,86 @@ def test_bloom_probe_composes_with_structured_streaming(spark, corpus, tmp_path)
     want = sorted(r["url"] for r in bloom_anti_join(arrivals, bf, "url").collect())
     assert got == want
     assert all(u.startswith("https://stream.example/") for u in got)
+
+
+# ---------------------------------------------------------------------------
+# sharded bloom
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_build_matches_per_shard_python_oracle(spark, corpus, tmp_path):
+    from geotables_jl_spark.operators.bloom import (
+        _SHARD_SEED,
+        _load_shard_words,
+        build_bloom_sharded,
+    )
+
+    d = str(tmp_path / "blooms")
+    man = build_bloom_sharded(corpus, "url", d, n_shards=4, fpp=0.01)
+    assert man["n_shards"] == 4
+
+    rows = corpus.distinct().select(
+        F.pmod(F.xxhash64("url", F.lit(_SHARD_SEED)), F.lit(4)).alias("s"),
+        F.xxhash64("url").alias("h1"),
+        F.xxhash64("url", F.lit(0x9E3779B9)).alias("h2"),
+    ).collect()
+    for s in range(4):
+        pairs = [(r["h1"], r["h2"]) for r in rows if r["s"] == s]
+        want = _py_bloom(pairs, man["m_bits"], man["k"])
+        got = _load_shard_words(d, s, man["m_bits"] // 64)
+        assert [int(w) for w in got.tolist()] == want
+
+
+def test_sharded_probe_contract_and_flags(spark, corpus, tmp_path):
+    from geotables_jl_spark.operators.bloom import (
+        bloom_anti_join_sharded,
+        build_bloom_sharded,
+        with_bloom_contains_sharded,
+    )
+
+    d = str(tmp_path / "blooms")
+    build_bloom_sharded(corpus, "url", d, n_shards=4, fpp=0.01)
+
+    # every corpus key flags True (no false negatives, across all shards)
+    flagged = with_bloom_contains_sharded(corpus, d, "url").collect()
+    assert all(r["in_corpus"] is True for r in flagged)
+
+    # anti-join: corpus keys never emitted; ≥95% of fresh keys survive;
+    # null keys pass through
+    fresh = spark.range(200).select(
+        F.concat(F.lit("https://shardnew.example/"), F.col("id")).alias("url")
+    )
+    arrivals = corpus.limit(80).union(fresh).union(
+        spark.createDataFrame([(None,)], "url string")
+    )
+    out = [r["url"] for r in bloom_anti_join_sharded(arrivals, d, "url").collect()]
+    assert None in out
+    named = [u for u in out if u is not None]
+    assert all(u.startswith("https://shardnew.example/") for u in named)
+    assert len(named) >= 190
+
+
+def test_sharded_probe_plan_has_one_exchange(spark, corpus, tmp_path):
+    from geotables_jl_spark.operators.bloom import (
+        bloom_anti_join_sharded,
+        build_bloom_sharded,
+    )
+
+    d = str(tmp_path / "blooms")
+    build_bloom_sharded(corpus, "url", d, n_shards=4, fpp=0.01)
+    fresh = spark.range(50).select(F.concat(F.lit("u"), F.col("id")).alias("url"))
+    plan = (
+        bloom_anti_join_sharded(fresh, d, "url")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1  # the shard routing, nothing else
+
+
+def test_sharded_guard_raises_on_undersized_shards(spark, corpus, tmp_path):
+    from geotables_jl_spark.operators.bloom import build_bloom_sharded
+
+    with pytest.raises(ValueError, match="max_bytes_per_shard"):
+        build_bloom_sharded(
+            corpus, "url", str(tmp_path / "x"), n_shards=2,
+            expected_n=10**12, fpp=0.01,
+        )
