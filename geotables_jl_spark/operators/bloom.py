@@ -279,6 +279,11 @@ def build_bloom_sharded(
     ``partitionBy(shard)`` so probes read exactly one directory per
     shard. Returns the manifest dict (also written as
     ``_bloom_manifest.json`` inside ``out_dir``).
+
+    ``out_dir`` must be a path visible to BOTH driver and executor
+    Python workers (local FS here; a shared filesystem / fuse mount on
+    a cluster) — the same contract as the checkpoint layer's manifest
+    files (``plans/checkpoint.py``).
     """
     import json as _json
 
