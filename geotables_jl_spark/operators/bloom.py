@@ -122,7 +122,11 @@ def build_bloom(
 
     Scale shape: the only shuffle is the sparse ``(word_idx, bit_or)``
     merge, bounded by min(total set bits, m/64) rows regardless of corpus
-    size, partial-aggregated map-side. Driver memory: m/8 bytes, once.
+    size, partial-aggregated map-side. The driver materializes the merged
+    words ONCE via Arrow (``toPandas`` → numpy columns): ~m/8 bytes of
+    word payload + an 8-byte index per nonzero word — never per-Row
+    Python objects, which at the 256 MiB ``max_bytes`` ceiling would be
+    tens of millions of Rows (multiple GB of heap) for the same data.
     """
     if expected_n is None:
         expected_n = df.select(key_col).na.drop().distinct().count()
@@ -166,11 +170,15 @@ def build_bloom(
             )
 
     sparse = hashed.mapInPandas(_partition_words, schema="word_idx long, word long")
-    merged = sparse.groupBy("word_idx").agg(F.bit_or("word").alias("word")).collect()
+    # Arrow collect: two flat numpy columns, no Row objects (both
+    # columns are non-null longs by construction, so the Arrow→pandas
+    # conversion stays int64 — no float widening)
+    merged = sparse.groupBy("word_idx").agg(F.bit_or("word").alias("word")).toPandas()
 
     words = np.zeros(n_words, dtype=np.uint64)
-    for row in merged:
-        words[row["word_idx"]] = np.uint64(row["word"] % (1 << 64))
+    if len(merged):
+        idx = merged["word_idx"].to_numpy(dtype=np.int64)
+        words[idx] = merged["word"].to_numpy(dtype=np.int64).view(np.uint64)
     set_bits = int(np.unpackbits(words.view(np.uint8)).sum())
     return BloomFilter(
         m_bits=m_bits,
@@ -190,6 +198,11 @@ def with_bloom_contains(
 
     Map-only: hashes are JVM expressions, the k-probe is one
     Arrow-batched gather against the task-side broadcast words."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"output column {out_col!r} already exists on the input; pass a "
+            "different out_col (withColumn would silently overwrite it)"
+        )
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(
         {"m": bf.m_bits, "k": bf.k, "words": bf.words}
@@ -353,6 +366,8 @@ def build_bloom_sharded(
         .partitionBy("shard")
         .parquet(out_dir)
     )
+    import uuid
+
     manifest = {
         "n_shards": n_shards,
         "m_bits": m_bits,
@@ -360,6 +375,13 @@ def build_bloom_sharded(
         "expected_n": expected_n,
         "fpp": fpp,
         "format": "parquet partitionBy(shard): (word_idx long, word long)",
+        # unique per BUILD, not per path: a rebuild into the same
+        # out_dir (the daily mode=overwrite incremental-crawl flow)
+        # must invalidate worker caches keyed on the previous build —
+        # without it, long-lived Python workers would keep serving the
+        # old word arrays and silently break the no-false-negative
+        # contract for keys added by the rebuild
+        "build_token": uuid.uuid4().hex,
     }
     # manifest travels with the data (same contract as the checkpoint
     # layer's _MANIFEST.json): a probe needs only the directory
@@ -386,11 +408,32 @@ def _load_shard_words(out_dir: str, shard: int, n_words: int) -> np.ndarray:
     return words
 
 
-#: worker-global shard cache keyed by (out_dir, shard) — out_dir is the
-#: identity of a build (builds write whole directories atomically via
-#: mode=overwrite), so unlike an id()-keyed cache this key cannot alias
-#: across rebuilds at different paths
+#: worker-global LRU shard cache keyed by (out_dir, build_token, shard).
+#: The token (unique per build, from the manifest) makes a rebuild into
+#: the SAME directory a cache miss — path alone is not a build identity
+#: under mode=overwrite. Bounded: probes are shard-partitioned so the
+#: per-worker working set is ~1 shard; a small LRU keeps hit rate ~1
+#: while capping memory at cap × max_bytes_per_shard instead of letting
+#: a long-lived worker that serves many shards/builds accumulate dense
+#: word arrays until it dies.
 _SHARD_CACHE: dict = {}
+_SHARD_CACHE_MAX = 4
+
+
+def _cached_shard_words(
+    out_dir: str, build_token: str, shard: int, n_words: int
+) -> np.ndarray:
+    ck = (out_dir, build_token, shard)
+    words = _SHARD_CACHE.get(ck)
+    if words is None:
+        words = _load_shard_words(out_dir, shard, n_words)
+    else:
+        del _SHARD_CACHE[ck]  # re-insert → most-recently-used
+    _SHARD_CACHE[ck] = words
+    while len(_SHARD_CACHE) > _SHARD_CACHE_MAX:
+        # dicts iterate in insertion order: first key = least recent
+        _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+    return words
 
 
 def with_bloom_contains_sharded(
@@ -409,7 +452,17 @@ def with_bloom_contains_sharded(
     with open(os.path.join(out_dir, "_bloom_manifest.json")) as f:
         man = _json.loads(f.read())
     n_shards, m_bits, k = man["n_shards"], man["m_bits"], man["k"]
+    # pre-token manifests (older builds) fall back to path-only identity
+    build_token = man.get("build_token", "")
     n_words = m_bits // _WORD_BITS
+
+    clash = ({"__shard", "__h1", "__h2", out_col}) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with the probe's helper/"
+            "output columns (withColumns would silently overwrite them); "
+            "rename them or pass a different out_col"
+        )
 
     key = F.col(key_col)
     h1c, h2c = _hash_cols(key)
@@ -436,10 +489,9 @@ def with_bloom_contains_sharded(
                 h1 = pdf["__h1"].to_numpy(dtype=np.int64).view(np.uint64)
                 h2 = pdf["__h2"].to_numpy(dtype=np.int64).view(np.uint64)
                 for s in np.unique(svals[valid]).astype(np.int64):
-                    ck = (out_dir, int(s))
-                    if ck not in _SHARD_CACHE:
-                        _SHARD_CACHE[ck] = _load_shard_words(out_dir, int(s), n_words)
-                    bf = BloomFilter(m_bits, k, _SHARD_CACHE[ck])
+                    bf = BloomFilter(
+                        m_bits, k, _cached_shard_words(out_dir, build_token, int(s), n_words)
+                    )
                     sel = valid & (svals == s)
                     flags[sel] = bf.contains_np(h1[sel], h2[sel])
             out = pdf.drop(columns=list(helper))
