@@ -6,19 +6,38 @@ Each query is materialized through Spark's noop sink (full execution, no
 collect/driver funnel). A small warm-up query absorbs JVM/codegen
 startup so per-query numbers reflect steady-state execution.
 
+Attribution (VERDICT r4 "What's wrong" #1 — shared-suite numbers were
+not attributable to plans vs host windows):
+
+- a ~0.1 s fixed-work host probe runs BETWEEN entries and is emitted
+  per-entry (``host_probe_sec``): a slow entry whose bracketing probes
+  are also slow ran in a throttled host window, not a slower plan;
+- any entry whose best-of differs >1.5× from the latest committed
+  ``BENCH_r*.json`` is automatically re-run in a FRESH JVM at suite end
+  and both numbers are reported (``isolated_rerun``) — a shared-suite
+  outlier that reproduces at its prior time isolated is host noise by
+  construction.
+
 Optional env:
 - SPARK_GRAFT_BENCH_QUERIES: comma-separated subset to run
-- SPARK_GRAFT_BENCH_REPEAT: repetitions per query (default 1, best-of)
+- SPARK_GRAFT_BENCH_REPEAT: repetitions per query (default 2, best-of;
+  clamped to ≥1)
+- SPARK_GRAFT_BENCH_REF: reference JSON for the >1.5× rerun trigger
+  (default: lexically-latest BENCH_r*.json next to this file)
+- SPARK_GRAFT_BENCH_ISOLATED=1: child mode used by the auto-rerun —
+  skips the parallel host probes and the rerun recursion
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
 import __spark_entry__ as E
 from geotables_jl_spark.session import get_spark
@@ -30,12 +49,13 @@ def main() -> None:
     # best-of-2 default: this host's available CPU drifts by minutes
     # (noisy neighbors); a single sample can misattribute a slow host
     # window to a query by 10x
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
+    isolated = os.environ.get("SPARK_GRAFT_BENCH_ISOLATED") == "1"
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     only = set(subset.split(",")) if subset else None
 
     sf = _sf_from_dir(sf_dir)
-    host_pre = _host_parallel_ratio()
+    host_pre = None if isolated else _host_parallel_ratio()
     spark = get_spark("bench", cpus=cpus)
 
     # warm-up: JVM + codegen + parquet footer caches, plus the Python
@@ -56,13 +76,20 @@ def main() -> None:
     # xxhash64 simhash vs the md5_60 oracle family the gate replays)
     qs = {**E.queries(), **getattr(E, "bench_extra", dict)()}
     times: dict[str, float] = {}
+    probes: dict[str, float] = {}
     total = 0.0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # per-entry host probe: fixed single-thread work, so a 2×
+        # slower probe means the HOST was 2× slower in this entry's
+        # window — the per-entry attribution the suite-bracketing
+        # probes could not give
+        probes[name] = _probe_unit()
         best = None
         runs = 0
-        while runs < repeat or (best > 2.0 and runs < repeat + 2 and best == dt):
+        improved_last = True
+        while _more_runs(runs, repeat, best, improved_last):
             # adaptive tail: a heavy query whose LAST run is still its
             # best hasn't reached steady state (first runs pay JIT/
             # codegen of its operator family — measured 7-24s cold vs
@@ -72,14 +99,18 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
+            improved_last = best is None or dt < best
             best = dt if best is None else min(best, dt)
             runs += 1
         times[name] = round(best, 3)
         total += best
-        print(f"# {name}: {best:.3f}s", file=sys.stderr)
+        print(f"# {name}: {best:.3f}s (probe {probes[name]:.3f}s)", file=sys.stderr)
         _clear_session_state(spark)
 
-    host_post = _host_parallel_ratio()
+    host_post = None if isolated else _host_parallel_ratio()
+
+    ref_path, ref = ("", {}) if isolated else _reference_times()
+    rerun = {} if isolated else _isolated_reruns(times, ref)
 
     # flagship throughput: geotagged pages joined into tiles, rows/sec
     n_pages = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
@@ -92,23 +123,108 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "flagship_rows_per_sec": round(n_pages / flagship, 1) if flagship else None,
-        # host-state evidence: this sandbox VM's parallel throughput
-        # drifts by hours (BENCH.md "Reproducibility") — e.g. a window
-        # where 4→16 independent processes scale 2.3× (vs 3.9× when
-        # quiet) ran the SAME simhash plan 13-31 s that a quiet window
-        # runs in 2.1 s. The probe (zero shared state, pure hashlib)
-        # timestamps the suite's window so a slow BENCH round is
-        # attributable: ~4.0 = quiet host, ≲2.5 = throttled host.
-        "host_par_ratio_4to16_pre": host_pre[0],
-        "host_par_ratio_4to16_post": host_post[0],
-        # absolute probe seconds (fixed work): compare across rounds to
-        # separate "host was slower" from "plan got slower"
-        "host_probe_t4_sec_pre": host_pre[1],
-        "host_probe_t16_sec_pre": host_pre[2],
-        "host_probe_t4_sec_post": host_post[1],
-        "host_probe_t16_sec_post": host_post[2],
+        # per-entry host-state evidence (fixed work ⇒ seconds compare
+        # across entries and rounds): slow entry + slow probe = host
+        # window; slow entry + steady probe = plan/regression
+        "host_probe_sec": probes,
+        # fresh-JVM reruns of entries >1.5× their reference: the pair
+        # (shared, isolated) makes every outlier attributable
+        "isolated_rerun": rerun,
+        "bench_ref": ref_path or None,
+        # suite-bracketing probes: parallel throughput drift (BENCH.md
+        # "Reproducibility") — ~4.0 = quiet host, ≲2.5 = throttled
+        "host_par_ratio_4to16_pre": host_pre[0] if host_pre else None,
+        "host_par_ratio_4to16_post": host_post[0] if host_post else None,
+        "host_probe_t4_sec_pre": host_pre[1] if host_pre else None,
+        "host_probe_t16_sec_pre": host_pre[2] if host_pre else None,
+        "host_probe_t4_sec_post": host_post[1] if host_post else None,
+        "host_probe_t16_sec_post": host_post[2] if host_post else None,
     }
     print(json.dumps(out))
+
+
+def _more_runs(runs: int, repeat: int, best: float | None, improved_last: bool) -> bool:
+    """Run again? Mandatory up to ``repeat``; then the adaptive tail
+    grants ≤2 extra runs to entries >2 s whose LAST run set a new best
+    (still descending = still warming). Explicit improved-last flag, not
+    the float-equality-with-best heuristic (VERDICT r4 nit #5), and
+    safe at repeat=0/best=None (ADVICE r4: the old form crashed)."""
+    if runs < repeat:
+        return True
+    return best is not None and best > 2.0 and runs < repeat + 2 and improved_last
+
+
+def _probe_unit() -> float:
+    """~0.1 s of fixed single-thread work (sha256 chain) — a per-entry
+    host-speed timestamp. Pure stdlib, zero shared state with Spark."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    for i in range(150_000):
+        hashlib.sha256(str(i).encode()).digest()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _reference_times() -> tuple[str, dict]:
+    """(path, per-query seconds) of the comparison baseline for the
+    rerun trigger: $SPARK_GRAFT_BENCH_REF or the lexically-latest
+    committed BENCH_r*.json (rounds are zero-padded)."""
+    path = os.environ.get("SPARK_GRAFT_BENCH_REF")
+    if not path:
+        cands = sorted(glob.glob(os.path.join(_HERE, "BENCH_r*.json")))
+        if not cands:
+            return "", {}
+        path = cands[-1]
+    try:
+        with open(path) as f:
+            return path, json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        return "", {}
+
+
+def _flag_outliers(times: dict, ref: dict, factor: float = 1.5, floor: float = 0.5) -> list:
+    """Entries worth a fresh-JVM rerun: >factor× their reference AND
+    above the absolute floor (sub-0.5 s deltas are scheduling jitter,
+    not attributable plan cost). Worst ratio first."""
+    flagged = [
+        n
+        for n, t in times.items()
+        if ref.get(n) and t > factor * ref[n] and t >= floor
+    ]
+    return sorted(flagged, key=lambda n: times[n] / ref[n], reverse=True)
+
+
+def _isolated_reruns(times: dict, ref: dict, max_reruns: int = 10) -> dict:
+    """Re-run flagged entries in a fresh JVM each (child bench process,
+    single query): the isolated number is free of suite ordering, page
+    cache, and mid-suite host windows. Capped — a fully-throttled host
+    flags everything, and 10 children already bound the evidence."""
+    import subprocess
+
+    out: dict[str, float] = {}
+    for name in _flag_outliers(times, ref)[:max_reruns]:
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_BENCH_ISOLATED="1",
+            SPARK_GRAFT_BENCH_QUERIES=name,
+            SPARK_GRAFT_BENCH_REPEAT="2",
+        )
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(_HERE, "bench.py")],
+                env=env, capture_output=True, text=True, timeout=600,
+            )
+        except subprocess.TimeoutExpired:
+            continue
+        for line in reversed(r.stdout.strip().splitlines()):
+            try:
+                d = json.loads(line)
+            except ValueError:
+                continue
+            if name in d.get("queries", {}):
+                out[name] = d["queries"][name]
+            break
+    return out
 
 
 def _clear_session_state(spark) -> None:

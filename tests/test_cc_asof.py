@@ -413,6 +413,37 @@ def test_lsh_star_mode_plan_has_no_collect_set(spark):
     assert "collect_set" not in plan and "ObjectHashAggregate" not in plan, plan[:2000]
 
 
+def test_lsh_in_cap_pair_explode_is_linear(spark):
+    """The in-cap all-pairs explode must build O(B)-sized row buffers,
+    never the whole B²/2 pair array in one row (VERDICT r4 'What's
+    wrong' #3): the plan uses posexplode + per-member tail slices, no
+    flatten-of-nested-transform; the pair SET on a cap-sized bucket is
+    the full i<j enumeration."""
+    from pyspark.sql import functions as F2
+
+    from geotables_jl_spark.operators.dedup import _explode_bucket_pairs
+
+    n = 4096
+    members = spark.range(1).select(
+        F2.sequence(F2.lit(0), F2.lit(n - 1)).alias("__ids")
+    )
+    out = _explode_bucket_pairs(members)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "flatten(transform" not in plan, plan[:2000]
+    assert "posexplode" in plan, plan[:2000]
+    stats = out.agg(
+        F2.count(F2.lit(1)).alias("n"),
+        F2.sum(F2.when(F2.col("id_a") < F2.col("id_b"), 0).otherwise(1)).alias("bad"),
+        F2.count_distinct("id_a", "id_b").alias("d"),
+    ).collect()[0]
+    assert stats["n"] == n * (n - 1) // 2 == stats["d"]
+    assert stats["bad"] == 0
+    # boundary: singleton and empty member arrays emit nothing
+    for arr in ([7], []):
+        one = spark.createDataFrame([(arr,)], "__ids: array<long>")
+        assert _explode_bucket_pairs(one).count() == 0
+
+
 def test_lsh_pair_mode_validation(spark):
     from geotables_jl_spark.operators.dedup import minhash_lsh_pairs
 
