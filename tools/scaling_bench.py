@@ -190,6 +190,13 @@ def main() -> None:
             "ceiling_probe": "mem" if job in _MEM_BOUND else "cpu",
             "efficiency_vs_hw_ceiling": round(norm, 3),
         }
+        # phase decompositions and other per-job extras (e.g. bloom's
+        # build_sec/probe_sec) pass through with level suffixes so the
+        # per-phase scaling is in the record, not just the total
+        for extra in sorted(set(a) - {"job", "rows", "sec", "cpus", "rows_per_sec"}):
+            summary["jobs"][job][f"{extra}_local{lo}"] = a[extra]
+            if extra in b:
+                summary["jobs"][job][f"{extra}_local{hi}"] = b[extra]
         rows.append(
             f"| {job} | {a['rows']:,} | {a['sec']:.1f}s / {a['rows_per_sec']:,.0f} r/s "
             f"| {b['sec']:.1f}s / {b['rows_per_sec']:,.0f} r/s | {speedup:.2f}× | {eff:.2f} "

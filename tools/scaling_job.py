@@ -180,6 +180,51 @@ def run_dedup_lsh(spark, input_dir: str) -> dict:
     return {"job": "dedup_lsh", "rows": n_rows, "sec": round(dt, 3)}
 
 
+def run_bloom(spark, input_dir: str) -> dict:
+    """Bloom incremental-crawl dedup at 10M corpus keys: one build pass
+    (sparse-word shuffle + Arrow driver merge) + a map-only probe of a
+    10M-key arrival stream (half known, half new). Keys are pure column
+    math over the pre-materialized page table's row_id (×5 explode —
+    identical bytes at every parallelism level). Phases are reported
+    separately: the probe is the part that must scale like a map (no
+    shuffle touches either side); the build carries the bounded
+    sparse-word exchange whose row count is capped by m/64 regardless
+    of corpus size. ``sec`` (the scaling metric) is build+probe — the
+    full daily-crawl cycle."""
+    from geotables_jl_spark.operators.bloom import build_bloom, with_bloom_contains
+
+    fan = 5
+    pages = spark.read.parquet(input_dir).select("row_id")
+    base = pages.withColumn("__j", F.explode(F.sequence(F.lit(0), F.lit(fan - 1)))).select(
+        (F.col("row_id") * fan + F.col("__j")).alias("k")
+    )
+    n = pages.count() * fan
+    corpus = base.select(F.concat(F.lit("https://corpus.example/"), F.col("k")).alias("url"))
+    # arrivals: even k = already crawled (must all flag True), odd k
+    # shifted into a disjoint key space = genuinely new
+    arrivals = base.select(
+        F.concat(
+            F.when(F.col("k") % 2 == 0, F.lit("https://corpus.example/")).otherwise(
+                F.lit("https://new.example/")
+            ),
+            F.col("k"),
+        ).alias("url")
+    )
+    t0 = time.perf_counter()
+    bf = build_bloom(corpus, "url", expected_n=n, fpp=0.01)
+    t1 = time.perf_counter()
+    with_bloom_contains(arrivals, bf, "url").write.format("noop").mode("overwrite").save()
+    t2 = time.perf_counter()
+    return {
+        "job": "bloom",
+        "rows": n,
+        "sec": round(t2 - t0, 3),
+        "build_sec": round(t1 - t0, 3),
+        "probe_sec": round(t2 - t1, 3),
+        "fill_ratio": round(bf.fill_ratio, 4),
+    }
+
+
 def main() -> None:
     cpus = int(sys.argv[1])
     input_dir = sys.argv[2]
@@ -208,6 +253,7 @@ def main() -> None:
         "s2_knn": (run_s2_knn, (spark, input_dir, sf_dir)),
         "asof_join": (run_asof, (spark, input_dir)),
         "dedup_lsh": (run_dedup_lsh, (spark, input_dir)),
+        "bloom": (run_bloom, (spark, input_dir)),
     }
     only = os.environ.get("SPARK_GRAFT_SCALING_JOBS")
     # default = the north-rule join jobs; extras (asof_join) run only
