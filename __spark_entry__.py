@@ -1179,6 +1179,22 @@ def q_bloom_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_anti_join(arrivals, docs, "url", fpp=0.01)
 
 
+def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE arm of embedding near-dup: banded sign-LSH (Arrow-batched
+    band keys, (band, key) equi-join, exact-cosine verify) — the plan
+    the size gate auto-selects above EMBED_EXACT_MAX_ROWS rows.
+    Bench-only: the gated q_embedding_neardup twin (exact blocked
+    matmul, identical output contract) owns the DuckDB oracle row;
+    this entry evidences the bucketed plan's cost on the same input.
+    Recall < 1 by construction (that is the LSH trade), so a
+    value-exact SQL oracle would be wrong to demand — the candidate
+    family is pytest-pinned instead (test_pipeline_ops)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return DD.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, use_lsh=True
+    )
+
+
 def q_sample_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-DEFAULT uniform sample (compiled murmur3 rank) — bench-only
     twin of q_sample_uniform (md5 oracle family)."""
@@ -1197,6 +1213,7 @@ def bench_extra() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fast": q_sample_fast,
         "quality_filter": q_quality_filter,
         "bloom_antijoin": q_bloom_antijoin,
+        "embedding_lsh": q_embedding_lsh,
     }
 
 

@@ -166,20 +166,31 @@ def _probe_unit() -> float:
 
 
 def _reference_times() -> tuple[str, dict]:
-    """(path, per-query seconds) of the comparison baseline for the
-    rerun trigger: $SPARK_GRAFT_BENCH_REF or the lexically-latest
-    committed BENCH_r*.json (rounds are zero-padded)."""
+    """(label, per-query seconds) of the comparison baseline for the
+    rerun trigger: $SPARK_GRAFT_BENCH_REF (one file), or the per-query
+    MIN across every committed BENCH_r*.json — the best reproduced
+    prior. Comparing against the minimum (not the latest round) keeps a
+    noisy prior round from masking a persistently-slow entry: anything
+    >1.5× its best-known time gets the fresh-JVM rerun."""
     path = os.environ.get("SPARK_GRAFT_BENCH_REF")
-    if not path:
-        cands = sorted(glob.glob(os.path.join(_HERE, "BENCH_r*.json")))
-        if not cands:
+    if path:
+        try:
+            with open(path) as f:
+                return path, json.load(f).get("queries", {})
+        except (OSError, ValueError):
             return "", {}
-        path = cands[-1]
-    try:
-        with open(path) as f:
-            return path, json.load(f).get("queries", {})
-    except (OSError, ValueError):
-        return "", {}
+    ref: dict = {}
+    cands = sorted(glob.glob(os.path.join(_HERE, "BENCH_r*.json")))
+    for p in cands:
+        try:
+            with open(p) as f:
+                qs = json.load(f).get("queries", {})
+        except (OSError, ValueError):
+            continue
+        for name, t in qs.items():
+            if isinstance(t, (int, float)) and (name not in ref or t < ref[name]):
+                ref[name] = t
+    return ("min(BENCH_r*.json)" if ref else ""), ref
 
 
 def _flag_outliers(times: dict, ref: dict, factor: float = 1.5, floor: float = 0.5) -> list:

@@ -44,15 +44,16 @@ def test_flag_outliers_ratio_and_floor():
     assert got == ["d", "a"]  # worst ratio first (4.5x before 3.0x)
 
 
-def test_reference_times_picks_latest_round(monkeypatch, tmp_path):
+def test_reference_times_is_per_query_min_across_rounds(monkeypatch, tmp_path):
     import json
 
-    for r, t in [(3, 1.0), (4, 2.0)]:
-        (tmp_path / f"BENCH_r0{r}.json").write_text(json.dumps({"queries": {"q": t}}))
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps({"queries": {"q": 1.0, "r": 5.0}}))
+    (tmp_path / "BENCH_r04.json").write_text(json.dumps({"queries": {"q": 2.0, "s": 0.3}}))
     monkeypatch.setattr(bench, "_HERE", str(tmp_path))
     monkeypatch.delenv("SPARK_GRAFT_BENCH_REF", raising=False)
-    path, ref = bench._reference_times()
-    assert path.endswith("BENCH_r04.json") and ref == {"q": 2.0}
+    label, ref = bench._reference_times()
+    # q: best prior wins (a noisy later round can't mask a regression)
+    assert ref == {"q": 1.0, "r": 5.0, "s": 0.3} and label
 
 
 def test_probe_unit_is_small_and_positive():
