@@ -172,11 +172,16 @@ def _reference_times() -> tuple[str, dict]:
     prior. Comparing against the minimum (not the latest round) keeps a
     noisy prior round from masking a persistently-slow entry: anything
     >1.5× its best-known time gets the fresh-JVM rerun."""
+    def _queries_of(d: dict) -> dict:
+        # bench.py's own line has top-level "queries"; the driver's
+        # committed BENCH_r*.json wraps it under "parsed"
+        return d.get("queries") or d.get("parsed", {}).get("queries", {}) or {}
+
     path = os.environ.get("SPARK_GRAFT_BENCH_REF")
     if path:
         try:
             with open(path) as f:
-                return path, json.load(f).get("queries", {})
+                return path, _queries_of(json.load(f))
         except (OSError, ValueError):
             return "", {}
     ref: dict = {}
@@ -184,7 +189,7 @@ def _reference_times() -> tuple[str, dict]:
     for p in cands:
         try:
             with open(p) as f:
-                qs = json.load(f).get("queries", {})
+                qs = _queries_of(json.load(f))
         except (OSError, ValueError):
             continue
         for name, t in qs.items():

@@ -47,8 +47,11 @@ def test_flag_outliers_ratio_and_floor():
 def test_reference_times_is_per_query_min_across_rounds(monkeypatch, tmp_path):
     import json
 
+    # r03 in bench.py's own shape; r04 in the driver's wrapped shape
     (tmp_path / "BENCH_r03.json").write_text(json.dumps({"queries": {"q": 1.0, "r": 5.0}}))
-    (tmp_path / "BENCH_r04.json").write_text(json.dumps({"queries": {"q": 2.0, "s": 0.3}}))
+    (tmp_path / "BENCH_r04.json").write_text(
+        json.dumps({"rc": 0, "tail": "...", "parsed": {"queries": {"q": 2.0, "s": 0.3}}})
+    )
     monkeypatch.setattr(bench, "_HERE", str(tmp_path))
     monkeypatch.delenv("SPARK_GRAFT_BENCH_REF", raising=False)
     label, ref = bench._reference_times()
