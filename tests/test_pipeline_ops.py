@@ -72,6 +72,56 @@ def test_minhash_lsh_matches_exact_jaccard(spark, docs):
     assert lsh == exact  # 32 bands × 2 rows ⇒ recall ≈ 1 at j ≥ 0.5
 
 
+def test_minhash_signatures_arrow_properties(spark, docs):
+    """The map-only Arrow signature kernel must agree with the JVM
+    explode+groupBy pipeline on every hash-independent property: same
+    doc set (empty-shingle docs excluded by both), values inside
+    [0, p), per-run determinism, plan with ZERO exchanges, and — the
+    property LSH actually relies on — identical docs get identical
+    signatures while the planted near-dup pair agrees on most
+    positions."""
+    arrow = DD.minhash_signatures_arrow(docs, "doc_id", "text", 64, 3)
+    jvm = DD.minhash_signatures(docs, "doc_id", "text", 64, 3)
+    a_rows = {r["__id"]: [r[f"s{i}"] for i in range(64)] for r in arrow.collect()}
+    j_rows = {r["__id"]: [r[f"s{i}"] for i in range(64)] for r in jvm.collect()}
+    assert set(a_rows) == set(j_rows)  # same doc inclusion rule
+    assert all(0 <= v < DD._MINHASH_P for sig in a_rows.values() for v in sig)
+    # determinism: a second evaluation is bit-identical
+    again = {r["__id"]: [r[f"s{i}"] for i in range(64)] for r in arrow.collect()}
+    assert again == a_rows
+    # docs 0 and 1 are the planted near-dup pair (one word changed):
+    # most minhash positions must agree; unrelated docs must not
+    agree = sum(x == y for x, y in zip(a_rows[0], a_rows[1]))
+    assert agree >= 40, agree
+    far = max(
+        sum(x == y for x, y in zip(a_rows[0], a_rows[d]))
+        for d in a_rows
+        if d not in (0, 1)
+    )
+    assert far < agree
+    # map-only contract: no Exchange anywhere in the physical plan
+    # (the JVM twin pays one partial-agg exchange by design)
+    plan = arrow._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_minhash_signatures_arrow_empty_docs(spark):
+    # short/empty TEXT still yields one full-token shingle (shingles()
+    # contract: short docs participate) — kernel and JVM twin agree
+    rows = [(1, "a b c d"), (2, ""), (3, "xy")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = DD.minhash_signatures_arrow(df, "doc_id", "text", 8, 3).collect()
+    jvm = DD.minhash_signatures(df, "doc_id", "text", 8, 3).collect()
+    assert sorted(r["__id"] for r in out) == sorted(r["__id"] for r in jvm) == [1, 2, 3]
+    # an INJECTED shingled frame with truly empty arrays drops those
+    # docs (parity with the explode form, which emits no rows for them)
+    sh = spark.createDataFrame(
+        [(1, ["a b c"]), (2, []), (3, [])], "__id: long, __shset: array<string>"
+    )
+    got = DD.minhash_signatures_arrow(None, num_perm=8, shingled=sh).collect()
+    assert [r["__id"] for r in got] == [1]
+
+
 def test_simhash_pairs(spark):
     # simhash needs enough shingles for stable bit margins: longer docs
     long = " ".join([BASE] * 6)
