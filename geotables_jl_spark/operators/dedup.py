@@ -84,6 +84,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_posting: int | None = 1000,
     prefilter: str | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via inverted shingle index.
 
@@ -108,15 +109,26 @@ def ngram_jaccard_pairs(
     first and exact-verify only those — the 100 TB shape (LSH bounds
     candidates by construction; this function then never builds the full
     inverted-index self-join).
+
+    ``shingled``: optional pre-computed (typically persisted)
+    :func:`_shingle_sets` frame — without it the corpus is re-shingled
+    once per consumer of the inverted index (the hot-posting scan, both
+    join sides, the per-doc counts); a persisted injection makes that
+    one text scan plus cache reads, the same contract as
+    :func:`minhash_lsh_pairs`.
     """
     if prefilter == "minhash":
         # LSH candidates, exact jaccard verified inside minhash_lsh_pairs
         return minhash_lsh_pairs(
-            df, id_col, text_col, threshold=threshold, shingle_n=n, verify=True
+            df, id_col, text_col, threshold=threshold, shingle_n=n, verify=True,
+            shingled=shingled,
         ).select("id_a", "id_b", "jaccard")
     if prefilter is not None:
         raise ValueError("prefilter must be None or 'minhash'")
-    sh = _doc_shingles(df, id_col, text_col, n)
+    if shingled is not None:
+        sh = shingled.select("__id", F.explode("__shset").alias("__sh"))
+    else:
+        sh = _doc_shingles(df, id_col, text_col, n)
     if max_posting is not None:
         hot = sh.groupBy("__sh").count().filter(F.col("count") > max_posting).select("__sh")
         sh = sh.join(F.broadcast(hot), on="__sh", how="left_anti")

@@ -72,6 +72,27 @@ def test_minhash_lsh_matches_exact_jaccard(spark, docs):
     assert lsh == exact  # 32 bands × 2 rows ⇒ recall ≈ 1 at j ≥ 0.5
 
 
+def test_ngram_shingled_injection_equivalence(spark, docs):
+    """A persisted _shingle_sets frame injected into ngram_jaccard_pairs
+    (plain and minhash-prefilter arms) yields identical pairs to the
+    self-shingling form — the one-text-scan sharing contract."""
+    base = sorted(tuple(r) for r in DD.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect())
+    sh = DD._shingle_sets(docs, "doc_id", "text", 3).persist()
+    try:
+        inj = sorted(tuple(r) for r in DD.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3, shingled=sh).collect())
+        pre = sorted(
+            tuple(r)
+            for r in DD.ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.3, prefilter="minhash", shingled=sh
+            ).collect()
+        )
+    finally:
+        sh.unpersist()
+    assert base == inj
+    # LSH prefilter at 32 bands x 2 rows: recall ~1 on the fixture
+    assert base == pre
+
+
 def test_minhash_signatures_arrow_properties(spark, docs):
     """The map-only Arrow signature kernel must agree with the JVM
     explode+groupBy pipeline on every hash-independent property: same
