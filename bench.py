@@ -210,15 +210,21 @@ def _flag_outliers(times: dict, ref: dict, factor: float = 1.5, floor: float = 0
     return sorted(flagged, key=lambda n: times[n] / ref[n], reverse=True)
 
 
-def _isolated_reruns(times: dict, ref: dict, max_reruns: int = 10) -> dict:
+def _isolated_reruns(
+    times: dict, ref: dict, max_reruns: int = 10, budget_sec: float = 360.0
+) -> dict:
     """Re-run flagged entries in a fresh JVM each (child bench process,
     single query): the isolated number is free of suite ordering, page
-    cache, and mid-suite host windows. Capped — a fully-throttled host
-    flags everything, and 10 children already bound the evidence."""
+    cache, and mid-suite host windows. Capped by count AND cumulative
+    wall budget — a fully-throttled host flags everything, and the
+    evidence from the worst offenders is what matters."""
     import subprocess
 
     out: dict[str, float] = {}
+    t_start = time.perf_counter()
     for name in _flag_outliers(times, ref)[:max_reruns]:
+        if time.perf_counter() - t_start > budget_sec:
+            break
         env = dict(
             os.environ,
             SPARK_GRAFT_BENCH_ISOLATED="1",
