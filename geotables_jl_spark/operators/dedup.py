@@ -28,12 +28,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from geotables_jl_spark.functions.textstats import (
-    fingerprint,
-    fingerprint_fast,
-    shingles,
-    shingles_fast,
-)
+from geotables_jl_spark.functions.textstats import fingerprint_fast, shingles_fast
 
 
 # ---------------------------------------------------------------------------
