@@ -150,19 +150,11 @@ def run_asof(spark, input_dir: str) -> dict:
     return {"job": "asof_join", "rows": n_rows, "sec": round(dt, 3)}
 
 
-def run_dedup_lsh(spark, input_dir: str) -> dict:
-    """Webtext-payload flagship: MinHash-LSH near-dup candidate pairs
-    (star mode — the dedup_clusters edge feed) over the page table.
-    Text is synthesized from row_id with pure column math (identical
-    bytes at every parallelism level; ~18 words from a 64-word
-    vocabulary), with every 10th row collapsed onto a template id so
-    LSH has real near-dup buckets to find. Exercises the full
-    shingle → xxhash64 → 64-permutation → band-bucket window pipeline —
-    one wide map stage plus the (band, bucket) exchange."""
-    from geotables_jl_spark.operators.dedup import minhash_lsh_pairs
-
+def _synth_docs(spark, input_dir: str):
+    """row_id → ~18-word synthetic text from a 64-word vocabulary, every
+    10th row collapsed onto a template id so LSH finds real near-dup
+    buckets; pure column math — identical bytes at every parallelism."""
     pages = spark.read.parquet(input_dir).select("row_id")
-    # near-dup classes: rows ≡0 (mod 10) share a template (row_id // 100)
     base = F.when(
         F.col("row_id") % 10 == 0, (F.col("row_id") / 100).cast("long") * 100
     ).otherwise(F.col("row_id"))
@@ -170,7 +162,18 @@ def run_dedup_lsh(spark, input_dir: str) -> dict:
         F.sequence(F.lit(0), F.lit(17)),
         lambda i: F.concat(F.lit("w"), ((base * 31 + i * 7919) % 64).cast("string")),
     )
-    docs = pages.select("row_id", F.concat_ws(" ", words).alias("text"))
+    return pages.select("row_id", F.concat_ws(" ", words).alias("text"))
+
+
+def run_dedup_lsh(spark, input_dir: str) -> dict:
+    """Webtext-payload flagship: MinHash-LSH near-dup candidate pairs
+    (star mode — the dedup_clusters edge feed) over the page table.
+    Exercises the full shingle → xxhash64 → 64-permutation →
+    band-bucket window pipeline — one wide map stage plus the
+    (band, bucket) exchange."""
+    from geotables_jl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _synth_docs(spark, input_dir)
     n_rows = docs.count()
     t0 = time.perf_counter()
     minhash_lsh_pairs(
@@ -178,6 +181,31 @@ def run_dedup_lsh(spark, input_dir: str) -> dict:
     ).write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
     return {"job": "dedup_lsh", "rows": n_rows, "sec": round(dt, 3)}
+
+
+def run_dedup_lsh_arrow(spark, input_dir: str) -> dict:
+    """Same star-pair LSH but with signatures from the MAP-ONLY Arrow
+    MinHash kernel (``minhash_signatures_arrow``) — the edge feed
+    ``dedup_clusters`` defaults to since round 5. The explode + 64-perm
+    groupBy phases (the worst-scaling part of the round-4 dedup_lsh
+    decomposition, 2.4×/1→4) are replaced by one zero-shuffle Arrow
+    map; only the band-bucket exchange remains."""
+    from geotables_jl_spark.operators.dedup import (
+        _shingle_sets,
+        minhash_lsh_pairs,
+        minhash_signatures_arrow,
+    )
+
+    docs = _synth_docs(spark, input_dir)
+    n_rows = docs.count()
+    t0 = time.perf_counter()
+    shingled = _shingle_sets(docs, "row_id", "text", 3)
+    sig = minhash_signatures_arrow(None, shingled=shingled)
+    minhash_lsh_pairs(
+        docs, "row_id", "text", verify=False, pair_mode="star", signatures=sig
+    ).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    return {"job": "dedup_lsh_arrow", "rows": n_rows, "sec": round(dt, 3)}
 
 
 def run_bloom(spark, input_dir: str) -> dict:
@@ -253,6 +281,7 @@ def main() -> None:
         "s2_knn": (run_s2_knn, (spark, input_dir, sf_dir)),
         "asof_join": (run_asof, (spark, input_dir)),
         "dedup_lsh": (run_dedup_lsh, (spark, input_dir)),
+        "dedup_lsh_arrow": (run_dedup_lsh_arrow, (spark, input_dir)),
         "bloom": (run_bloom, (spark, input_dir)),
     }
     only = os.environ.get("SPARK_GRAFT_SCALING_JOBS")
