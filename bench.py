@@ -220,7 +220,7 @@ def _isolated_reruns(
     evidence from the worst offenders is what matters."""
     import subprocess
 
-    out: dict[str, float] = {}
+    out: dict[str, dict] = {}
     t_start = time.perf_counter()
     for name in _flag_outliers(times, ref)[:max_reruns]:
         if time.perf_counter() - t_start > budget_sec:
@@ -244,7 +244,14 @@ def _isolated_reruns(
             except ValueError:
                 continue
             if name in d.get("queries", {}):
-                out[name] = d["queries"][name]
+                # carry the child's own host probe: an isolated rerun
+                # can land in its own throttled window, and without its
+                # probe the isolated number is as unattributable as the
+                # shared one was
+                out[name] = {
+                    "sec": d["queries"][name],
+                    "host_probe_sec": d.get("host_probe_sec", {}).get(name),
+                }
             break
     return out
 
