@@ -100,6 +100,53 @@ def test_inner_join_grid_points_last(spark):
         assert rows[cell_1b - 1]["b"] == pytest.approx(expected_b)
 
 
+def test_default_agg_int_first_float_mean(spark):
+    """Port of test/operations.jl:144-166: integer columns are
+    Categorical scitype → default agg = FIRST (in row order), float
+    columns are Continuous → default agg = MEAN (the rule of
+    src/geoops/utils.jl:24-26). Two unit boxes, three points: box 1
+    matches point 1 only, box 2 matches points 2 and 3."""
+    from pyspark.sql import types as T
+
+    from geotables_jl_spark.core.geotable import georef
+    from geotables_jl_spark.geom.model import geom_rows_from_polygons, point_row
+    from tests.fixtures import _schema
+
+    boxes = [
+        [(0, 0), (1, 0), (1, 1), (0, 1)],
+        [(1, 1), (2, 1), (2, 2), (1, 2)],
+    ]
+    brows = [
+        {"row_id": i, "a": 0.1 * (i + 1), "geometry": g}
+        for i, g in enumerate(geom_rows_from_polygons(boxes))
+    ]
+    gtb1 = georef(
+        spark.createDataFrame(brows, _schema([T.StructField("a", T.DoubleType(), False)]))
+    )
+    pts = [(0.5, 0.5), (1.2, 1.2), (1.8, 1.8)]
+    prows = [
+        {"row_id": i, "b": i + 1, "c": float(i + 1), "geometry": point_row(x, y)}
+        for i, (x, y) in enumerate(pts)
+    ]
+    gtb2 = georef(
+        spark.createDataFrame(
+            prows,
+            _schema(
+                [
+                    T.StructField("b", T.LongType(), False),
+                    T.StructField("c", T.DoubleType(), False),
+                ]
+            ),
+        )
+    )
+    out = geojoin(gtb1, gtb2)
+    rows = _by_row_id(out)
+    assert set(rows) == {0, 1}
+    assert rows[0]["b"] == 1 and rows[1]["b"] == 2  # first, int stays int
+    assert rows[0]["c"] == 1.0 and rows[1]["c"] == pytest.approx(2.5)  # mean
+    assert rows[0]["a"] == pytest.approx(0.1) and rows[1]["a"] == pytest.approx(0.2)
+
+
 def test_on_conjunct(spark):
     # geojoin with on= attribute conjunct (operations.jl:199-254 flavor):
     # polygon side gets key column; only points with equal key match
