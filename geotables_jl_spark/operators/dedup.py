@@ -54,10 +54,38 @@ def dedup_exact_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keep one row (min id) per distinct content — the filtered corpus."""
-    keepers = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
-    return df.join(keepers, on=[text_col, id_col], how="left_semi")
+def dedup_exact(df: DataFrame, id_col: str, text_col: str, key: str = "text") -> DataFrame:
+    """Keep one row (min id) per distinct content — the filtered corpus.
+
+    ``key="text"`` (default): group on the content itself — literally
+    exact, but the shuffle carries the FULL text as its key (fine at
+    test scale; at 100 TB the dedup shuffle IS the corpus).
+
+    ``key="md5"``: group on ``md5(text)`` — the shuffle key is 32
+    bytes/row regardless of document size, the standard web-corpus
+    shape (hash-key partial aggregation combines map-side just the
+    same). Collision risk is ~n²/2¹²⁹ (~10⁻¹⁵ at 10¹² docs): two
+    different documents colliding would drop one of them — the same
+    order of loss as a cosmic-ray bit flip, and the trade every
+    production exact-dedup makes. The min-id keeper per hash group is
+    identical to the text arm's whenever no collision occurs (pinned
+    by test)."""
+    if key == "text":
+        keepers = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+        return df.join(keepers, on=[text_col, id_col], how="left_semi")
+    if key != "md5":
+        raise ValueError("key must be 'text' or 'md5'")
+    h = F.md5(F.col(text_col).cast("binary"))
+    keepers = (
+        df.select(h.alias("__h"), F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return (
+        df.withColumn("__h", h)
+        .join(keepers, on=["__h", id_col], how="left_semi")
+        .drop("__h")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -58,6 +58,21 @@ def test_dedup_exact(spark, docs):
     groups = {r["keeper_id"]: r["dup_count"] for r in DD.dedup_exact_groups(docs, "doc_id", "text").collect()}
     assert groups[0] == 2 and groups[2] == 1
 
+    # the 32-byte-shuffle-key arm (key="md5") returns the identical
+    # corpus whenever no hash collision occurs — always, on real data
+    md5_rows = sorted(
+        (r["doc_id"], r["text"])
+        for r in DD.dedup_exact(docs, "doc_id", "text", key="md5").collect()
+    )
+    text_rows = sorted(
+        (r["doc_id"], r["text"]) for r in DD.dedup_exact(docs, "doc_id", "text").collect()
+    )
+    assert md5_rows == text_rows
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="key"):
+        DD.dedup_exact(docs, "doc_id", "text", key="sha9")
+
 
 def test_ngram_jaccard_pairs(spark, docs):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()}
