@@ -515,8 +515,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # use_lsh=False PINS the exact arm: this entry owns the value-exact
+    # DuckDB oracle row, so it must never drift onto the recall<1 LSH
+    # arm at a bigger SF via the auto size gate (which would also bill
+    # a sizing count job to the benched query)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return DD.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+    return DD.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, use_lsh=False
+    )
 
 
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,18 +12,18 @@ not attributable to plans vs host windows):
 - a ~0.1 s fixed-work host probe runs BETWEEN entries and is emitted
   per-entry (``host_probe_sec``): a slow entry whose bracketing probes
   are also slow ran in a throttled host window, not a slower plan;
-- any entry whose best-of differs >1.5× from the latest committed
-  ``BENCH_r*.json`` is automatically re-run in a FRESH JVM at suite end
-  and both numbers are reported (``isolated_rerun``) — a shared-suite
-  outlier that reproduces at its prior time isolated is host noise by
-  construction.
+- any entry whose best-of differs >1.5× from its PER-QUERY MINIMUM
+  across every committed ``BENCH_r*.json`` (the best reproduced prior)
+  is automatically re-run in a FRESH JVM at suite end and both numbers
+  are reported (``isolated_rerun``) — a shared-suite outlier that
+  reproduces at its prior time isolated is host noise by construction.
 
 Optional env:
 - SPARK_GRAFT_BENCH_QUERIES: comma-separated subset to run
 - SPARK_GRAFT_BENCH_REPEAT: repetitions per query (default 2, best-of;
   clamped to ≥1)
 - SPARK_GRAFT_BENCH_REF: reference JSON for the >1.5× rerun trigger
-  (default: lexically-latest BENCH_r*.json next to this file)
+  (default: per-query min across BENCH_r*.json next to this file)
 - SPARK_GRAFT_BENCH_ISOLATED=1: child mode used by the auto-rerun —
   skips the parallel host probes and the rerun recursion
 """
@@ -172,10 +172,16 @@ def _reference_times() -> tuple[str, dict]:
     prior. Comparing against the minimum (not the latest round) keeps a
     noisy prior round from masking a persistently-slow entry: anything
     >1.5× its best-known time gets the fresh-JVM rerun."""
-    def _queries_of(d: dict) -> dict:
+    def _queries_of(d) -> dict:
         # bench.py's own line has top-level "queries"; the driver's
-        # committed BENCH_r*.json wraps it under "parsed"
-        return d.get("queries") or d.get("parsed", {}).get("queries", {}) or {}
+        # committed BENCH_r*.json wraps it under "parsed". Defensive
+        # about shape (a list top level, "parsed": null for a failed
+        # round) — a bad reference must never crash the suite at the
+        # reporting step.
+        if not isinstance(d, dict):
+            return {}
+        qs = d.get("queries") or (d.get("parsed") or {}).get("queries")
+        return qs if isinstance(qs, dict) else {}
 
     path = os.environ.get("SPARK_GRAFT_BENCH_REF")
     if path:
@@ -223,7 +229,8 @@ def _isolated_reruns(
     out: dict[str, dict] = {}
     t_start = time.perf_counter()
     for name in _flag_outliers(times, ref)[:max_reruns]:
-        if time.perf_counter() - t_start > budget_sec:
+        remaining = budget_sec - (time.perf_counter() - t_start)
+        if remaining <= 0:
             break
         env = dict(
             os.environ,
@@ -232,9 +239,13 @@ def _isolated_reruns(
             SPARK_GRAFT_BENCH_REPEAT="2",
         )
         try:
+            # the child's timeout is the REMAINING budget (+slack for
+            # JVM startup) so one slow child cannot overshoot the
+            # documented phase bound by its own full timeout
             r = subprocess.run(
                 [sys.executable, os.path.join(_HERE, "bench.py")],
-                env=env, capture_output=True, text=True, timeout=600,
+                env=env, capture_output=True, text=True,
+                timeout=min(600.0, remaining + 60.0),
             )
         except subprocess.TimeoutExpired:
             continue

@@ -75,6 +75,11 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str, key: str = "text") ->
         return df.join(keepers, on=[text_col, id_col], how="left_semi")
     if key != "md5":
         raise ValueError("key must be 'text' or 'md5'")
+    if "__h" in df.columns:
+        raise ValueError(
+            "input column '__h' collides with the md5 arm's helper column "
+            "(it would be silently overwritten and dropped); rename it"
+        )
     h = F.md5(F.col(text_col).cast("binary"))
     keepers = (
         df.select(h.alias("__h"), F.col(id_col))
@@ -624,7 +629,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     use_lsh: bool | None = None,
     planes: int = 16,
-    bands: int = 8,
+    bands: int = 32,
     seed: int = 42,
     expected_rows: int | None = None,
 ) -> DataFrame:
@@ -636,9 +641,10 @@ def embedding_neardup_pairs(
     ``bands`` independent groups of ``planes`` seeded random
     hyperplanes; a pair is a candidate iff it agrees on EVERY plane of
     at least one band (miss probability ``(1 - p_agree^planes)^bands``
-    with ``p_agree = 1 - θ/π`` — e.g. cosine ≥ 0.95 ⇒ ≲2% at the
-    defaults; raise ``bands`` for more recall, ``planes`` for fewer
-    candidates). Band keys come from ONE Arrow-batched numpy matmul
+    with ``p_agree = 1 - θ/π``: at the defaults planes=16, bands=32 a
+    cosine-0.95 pair has p_agree≈0.899, band match ≈0.18, miss
+    ≈0.818³² ≈ 0.2%; raise ``bands`` for more recall, ``planes`` for
+    fewer candidates). Band keys come from ONE Arrow-batched numpy matmul
     (sign bits packed per band), never per-plane interpreted lambdas;
     candidates equi-join on (band, key) and are exact-cosine verified,
     so false positives never survive.
@@ -672,6 +678,8 @@ def embedding_neardup_pairs(
         # import annotations` stringifies hints pyspark can't resolve
         import numpy as np  # executor-side
 
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
         V = np.stack(vs.to_numpy()).astype(np.float64)  # (n, dim)
         # hyperplanes are seeded-deterministic, so every task generates
         # the identical family — no broadcast, no driver-side dim sniff

@@ -7,7 +7,10 @@ import importlib.util
 import sys
 
 # import bench.py without running main() and without requiring Spark
-_spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+import os
+
+_BENCH = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+_spec = importlib.util.spec_from_file_location("bench", _BENCH)
 bench = importlib.util.module_from_spec(_spec)
 sys.modules.setdefault("bench", bench)
 _spec.loader.exec_module(bench)
@@ -57,6 +60,18 @@ def test_reference_times_is_per_query_min_across_rounds(monkeypatch, tmp_path):
     label, ref = bench._reference_times()
     # q: best prior wins (a noisy later round can't mask a regression)
     assert ref == {"q": 1.0, "r": 5.0, "s": 0.3} and label
+
+
+def test_reference_times_survives_malformed_rounds(monkeypatch, tmp_path):
+    import json
+
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps([1, 2]))  # list top level
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps({"rc": 1, "parsed": None}))
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps({"queries": {"q": 1.5}}))
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_REF", raising=False)
+    label, ref = bench._reference_times()
+    assert ref == {"q": 1.5}
 
 
 def test_probe_unit_is_small_and_positive():

@@ -72,6 +72,8 @@ def test_dedup_exact(spark, docs):
 
     with _pt.raises(ValueError, match="key"):
         DD.dedup_exact(docs, "doc_id", "text", key="sha9")
+    with _pt.raises(ValueError, match="__h"):
+        DD.dedup_exact(docs.withColumn("__h", F.lit(1)), "doc_id", "text", key="md5")
 
 
 def test_ngram_jaccard_pairs(spark, docs):
